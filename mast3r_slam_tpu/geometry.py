@@ -1,0 +1,121 @@
+"""Camera/point geometry with closed-form Jacobians (pure JAX).
+
+TPU-native re-implementation of the math in
+/root/reference/mast3r_slam/geometry.py (ray+distance residuals, pinhole
+projection with log-depth, backprojection) used by both the frame tracker and
+global bundle adjustment. All functions are batch-polymorphic and jit-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .lie import sim3
+
+
+def point_to_dist(X):
+    return jnp.linalg.norm(X, axis=-1, keepdims=True)
+
+
+def point_to_ray_dist(X, jacobian: bool = False):
+    """[ray(3), dist(1)] of 3D points; optional (…,4,3) Jacobian.
+
+    Spec: geometry.py:17-34.
+    """
+    d = point_to_dist(X)
+    d_inv = 1.0 / d
+    r = d_inv * X
+    rd = jnp.concatenate([r, d], axis=-1)
+    if not jacobian:
+        return rd
+    d_inv_2 = d_inv * d_inv
+    I = jnp.eye(3, dtype=X.dtype)
+    outer = X[..., :, None] * X[..., None, :]
+    dr_dX = d_inv[..., None] * (I - d_inv_2[..., None] * outer)
+    dd_dX = r[..., None, :]
+    drd_dX = jnp.concatenate([dr_dX, dd_dX], axis=-2)
+    return rd, drd_dX
+
+
+def act_Sim3(T, X, jacobian: bool = False):
+    """Apply Sim3 and optionally the (…,3,7) Jacobian w.r.t. a left
+    perturbation [tau, omega, sigma] of T.
+
+    Spec: geometry.py:45-52 — J = [I | -skew(TX) | TX].
+    """
+    Y = sim3.act(T, X)
+    if not jacobian:
+        return Y
+    I = jnp.broadcast_to(jnp.eye(3, dtype=X.dtype), Y.shape[:-1] + (3, 3))
+    J = jnp.concatenate([I, -sim3.skew(Y), Y[..., :, None]], axis=-1)
+    return Y, J
+
+
+def decompose_K(K):
+    return K[..., 0, 0], K[..., 1, 1], K[..., 0, 2], K[..., 1, 2]
+
+
+def project_calib(P, K, img_size, jacobian: bool = False, border: int = 0,
+                  z_eps: float = 0.0):
+    """Pinhole projection producing [u, v, log z] with validity mask.
+
+    Spec: geometry.py:63-104. ``img_size`` is (h, w); ``border`` may be
+    negative (allow projections slightly outside the image).
+    """
+    h, w = img_size
+    fx, fy, cx, cy = decompose_K(K)
+    x = P[..., 0:1]
+    y = P[..., 1:2]
+    z = P[..., 2:3]
+    valid_z = z > z_eps
+    z_safe = jnp.where(valid_z, z, 1.0)
+    z_inv = 1.0 / z_safe
+    u = fx * x * z_inv + cx
+    v = fy * y * z_inv + cy
+
+    valid_u = (u > border) & (u < w - 1 - border)
+    valid_v = (v > border) & (v < h - 1 - border)
+    valid = valid_u & valid_v & valid_z
+
+    logz = jnp.where(valid_z, jnp.log(z_safe), 0.0)
+    pz = jnp.concatenate([u, v, logz], axis=-1)
+    if not jacobian:
+        return pz, valid
+
+    zi = jnp.where(valid_z[..., 0], z_inv[..., 0], 0.0)
+    xz = x[..., 0] * zi
+    yz = y[..., 0] * zi
+    zero = jnp.zeros_like(zi)
+    # rows: d[u,v,logz]/d[x,y,z]
+    row_u = jnp.stack([fx * zi, zero, -fx * xz * zi], axis=-1)
+    row_v = jnp.stack([zero, fy * zi, -fy * yz * zi], axis=-1)
+    row_z = jnp.stack([zero, zero, zi], axis=-1)
+    dpz_dP = jnp.stack([row_u, row_v, row_z], axis=-2)
+    return pz, dpz_dP, valid
+
+
+def backproject(p, z, K):
+    """Pixels + depth -> 3D points (spec: geometry.py:107-115)."""
+    x = (p[..., 0:1] - K[..., 0, 2]) / K[..., 0, 0]
+    y = (p[..., 1:2] - K[..., 1, 2]) / K[..., 1, 1]
+    ones = jnp.ones_like(x)
+    ray = jnp.concatenate([x, y, ones], axis=-1)
+    return z * ray
+
+
+def pixel_coords(img_size, dtype=jnp.float32):
+    """(h*w, 2) [u, v] pixel grid in row-major pixel order."""
+    h, w = img_size
+    v, u = jnp.meshgrid(jnp.arange(h, dtype=dtype), jnp.arange(w, dtype=dtype),
+                        indexing="ij")
+    return jnp.stack([u, v], axis=-1).reshape(h * w, 2)
+
+
+def constrain_points_to_ray(img_size, Xs, K):
+    """Replace x,y with the calibrated ray through each pixel, keeping z.
+
+    Spec: geometry.py:37-42. ``Xs`` is (..., h*w, 3) in pixel order.
+    """
+    uv = pixel_coords(img_size, dtype=Xs.dtype)
+    uv = jnp.broadcast_to(uv, Xs.shape[:-1] + (2,))
+    return backproject(uv, Xs[..., 2:3], K)
