@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end per-frame tracking throughput on one chip.
+
+Measures the SLAM hot path (SURVEY.md §3.1) at the reference resolution
+512x384 with the full ViT-L model: encoder (new frame) + dual decoder +
+heads + projective matcher + Sim(3) GN, on a stream of distinct frames with
+the match-index warm start chained frame-to-frame (exactly the frontend's
+steady state). Baseline target: 15 FPS/chip (BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": "tracking_fps_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N/15}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.lie import sim3
+    from mast3r_slam_tpu.models import MASt3RConfig, init_params, mast3r
+    from mast3r_slam_tpu.ops import matching
+    from mast3r_slam_tpu.slam import tracker as tracker_mod
+    from mast3r_slam_tpu.slam.factor_graph import MatchingConfig
+
+    h, w = 384, 512
+    cfg = MASt3RConfig(img_size=(h, w), dtype="bfloat16",
+                       head_dtype="bfloat16")
+    mcfg = MatchingConfig()
+    tcfg = tracker_mod.TrackerConfig()
+
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, cfg)
+
+    kf_img = jax.random.normal(jax.random.fold_in(key, 1), (1, h, w, 3))
+    feat_k, pos_k = mast3r.encode(params, kf_img, cfg)
+    jax.block_until_ready(feat_k)
+
+    @jax.jit
+    def frame_step(params, img, feat_k, pos_k, idx_init):
+        feat_f, pos_f = mast3r.encode(params, img, cfg)
+        X, C, D, Q = mast3r.inference_asymmetric(
+            params, feat_f, pos_f, feat_k, pos_k, cfg)
+        idx, valid = matching.match(X[0:1], X[1:2], D[0:1], D[1:2],
+                                    idx_1_to_2_init=idx_init,
+                                    **mcfg._asdict())
+        hw = h * w
+        Xff = X[0:1].reshape(hw, 3)
+        Xkf = X[1:2].reshape(hw, 3)
+        Qff = Q[0:1].reshape(hw)
+        Qkf = Q[1:2].reshape(hw)
+        Qk = jnp.sqrt(Qff[idx[0]] * Qkf)[:, None]
+        Xf = jnp.take(Xff, idx[0], axis=0)
+        res = tracker_mod.opt_pose_ray_dist_sim3(
+            Xf, Xkf, sim3.identity(), Qk, valid[0], tcfg)
+        return idx, res.T_CkCf
+
+    n_frames = 10
+    imgs = jax.random.normal(jax.random.fold_in(key, 2),
+                             (n_frames, 1, h, w, 3))
+
+    # warm up BOTH compile variants (cold start and warm-started matching)
+    idx0, T = frame_step(params, imgs[0], feat_k, pos_k, None)
+    jax.block_until_ready(T)
+    idx1, T = frame_step(params, imgs[1], feat_k, pos_k, idx0)
+    jax.block_until_ready(T)
+
+    # steady state: distinct frames, warm-start chained like the frontend
+    t0 = time.time()
+    idx_cur = idx1
+    acc = jnp.zeros((8,))
+    for i in range(n_frames):
+        idx_cur, T = frame_step(params, imgs[i], feat_k, pos_k, idx_cur)
+        acc = acc + T
+    # scalar readback forces a real device sync (block_until_ready can be a
+    # no-op through the axon relay)
+    float(jnp.sum(acc))
+    elapsed = time.time() - t0
+    fps = n_frames / elapsed
+
+    print(json.dumps({
+        "metric": "tracking_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 15.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""mast3r_slam_tpu driver: dense SLAM over a monocular stream.
+
+CLI mirrors the reference (/root/reference/main.py:156-161):
+    python main.py --dataset <path> --config configs/base.yaml \
+        [--save-as NAME] [--no-viz] [--calib intrinsics.yaml] \
+        [--checkpoint model.pth] [--max-frames N]
+
+Without --checkpoint the model runs with random weights (useful only for
+smoke/perf runs; trajectories need the released MASt3R checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", default="datasets/tum/rgbd_dataset_freiburg1_desk")
+    parser.add_argument("--config", default="configs/base.yaml")
+    parser.add_argument("--save-as", default="default")
+    parser.add_argument("--no-viz", action="store_true")
+    parser.add_argument("--calib", default="")
+    parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--retrieval-checkpoint", default="")
+    parser.add_argument("--codebook", default="")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from mast3r_slam_tpu import config as config_mod
+    from mast3r_slam_tpu.io import datasets, export
+    from mast3r_slam_tpu.io.image import resize_img
+    from mast3r_slam_tpu.models import MASt3RConfig, convert, init_params
+    from mast3r_slam_tpu.slam import retrieval as retrieval_mod
+    from mast3r_slam_tpu.slam.system import SLAMSystem
+
+    cfg = config_mod.load_config(args.config)
+    print(f"dataset: {args.dataset}")
+
+    use_calib = bool(cfg.get("use_calib", False))
+    dataset = datasets.load_dataset(
+        args.dataset, use_calib=use_calib,
+        center_principle_point=bool(cfg["dataset"]["center_principle_point"]))
+    dataset.subsample(int(cfg["dataset"]["subsample"]))
+
+    if args.calib:
+        import yaml
+
+        with open(args.calib) as f:
+            intr = yaml.safe_load(f)
+        cfg = dict(cfg)
+        cfg["use_calib"] = True
+        use_calib = True
+        dataset.use_calibration = True
+        dataset.camera_intrinsics = datasets.Intrinsics.from_calib(
+            dataset.img_size, intr["width"], intr["height"],
+            intr["calibration"])
+
+    (h, w), _ = dataset.get_img_shape()
+    print(f"frame size: {h}x{w}")
+
+    model_cfg = MASt3RConfig(
+        img_size=(h, w),
+        dtype=cfg.get("runtime", {}).get("model_dtype", "bfloat16"))
+    if args.checkpoint:
+        print(f"loading checkpoint {args.checkpoint}")
+        params = convert.load_checkpoint(args.checkpoint, model_cfg)
+    else:
+        print("WARNING: no checkpoint; random weights (smoke/perf mode)")
+        params = init_params(jax.random.PRNGKey(args.seed), model_cfg)
+
+    rparams = None
+    if args.retrieval_checkpoint:
+        rparams = retrieval_mod.convert_retrieval_checkpoint(
+            args.retrieval_checkpoint, args.codebook or None)
+    else:
+        rparams = retrieval_mod.init_retrieval_params(
+            jax.random.PRNGKey(args.seed + 1),
+            backbone_dim=model_cfg.enc_embed_dim)
+
+    K = None
+    if use_calib:
+        if not dataset.has_calib():
+            print("[Warning] No calibration provided for this dataset!")
+            sys.exit(0)
+        import jax.numpy as jnp
+
+        K = jnp.asarray(dataset.camera_intrinsics.K_frame, dtype=jnp.float32)
+
+    system = SLAMSystem(params, model_cfg, cfg, (h, w),
+                        retrieval_params=rparams, K=K)
+
+    t0 = time.time()
+    stats = system.run(dataset, max_frames=args.max_frames, progress=True)
+    elapsed = time.time() - t0
+    n = args.max_frames or len(dataset)
+    print(f"done: {n} frames in {elapsed:.1f}s = {n / elapsed:.2f} FPS")
+    print(f"stats: {stats}")
+
+    if dataset.save_results:
+        save_dir = pathlib.Path("logs")
+        if args.save_as != "default":
+            save_dir = save_dir / args.save_as
+        seq_name = pathlib.Path(args.dataset).stem
+        export.save_traj(save_dir, f"{seq_name}.txt", dataset.timestamps,
+                         system.keyframes)
+        export.save_reconstruction(save_dir, f"{seq_name}.ply",
+                                   system.keyframes, 1.5)
+        export.save_keyframes(save_dir / "keyframes" / seq_name,
+                              dataset.timestamps, system.keyframes)
+        print(f"saved results under {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

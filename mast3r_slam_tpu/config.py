@@ -1,0 +1,122 @@
+"""YAML config system with ``inherit:`` chaining.
+
+Keeps the reference's config semantics (/root/reference/mast3r_slam/config.py:
+yaml + recursive parent merge + scientific-notation floats) but instead of a
+mutable module-global dict, ``load_config`` returns an immutable mapping and
+``make_*`` helpers derive the typed, hashable NamedTuple configs the jitted
+stages take as static arguments (mutable global config and jit don't mix).
+"""
+
+from __future__ import annotations
+
+import copy
+import pathlib
+import re
+
+import yaml
+
+from .slam.ba import BAConfig
+from .slam.factor_graph import FactorGraphConfig, MatchingConfig
+from .slam.retrieval import RetrievalConfig
+from .slam.tracker import TrackerConfig
+
+_FLOAT_RE = re.compile(
+    """^(?:
+        [-+]?(?:[0-9][0-9_]*)\\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?[0-9][0-9_]*(?::[0-5]?[0-9])+\\.[0-9_]*
+        |[-+]?\\.(?:inf|Inf|INF)
+        |\\.(?:nan|NaN|NAN))$""",
+    re.X,
+)
+
+
+def _loader():
+    loader = yaml.SafeLoader
+    loader.add_implicit_resolver(
+        "tag:yaml.org,2002:float", _FLOAT_RE, list("-+0123456789.")
+    )
+    return loader
+
+
+def _merge(parent: dict, child: dict) -> dict:
+    out = copy.deepcopy(parent)
+    for k, v in child.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_config(path) -> dict:
+    """Load a YAML config, following ``inherit:`` parent chains."""
+    path = pathlib.Path(path)
+    with open(path, "r") as f:
+        cfg = yaml.load(f, Loader=_loader()) or {}
+    inherit = cfg.pop("inherit", None)
+    if inherit is not None:
+        parent_path = pathlib.Path(inherit)
+        if not parent_path.is_absolute() and not parent_path.exists():
+            parent_path = path.parent / parent_path.name
+        cfg = _merge(load_config(parent_path), cfg)
+    return cfg
+
+
+def default_config() -> dict:
+    """Built-in defaults mirroring config/base.yaml of the reference."""
+    here = pathlib.Path(__file__).resolve().parent.parent / "configs" / "base.yaml"
+    return load_config(here)
+
+
+# -- typed config derivation -------------------------------------------------
+
+
+def make_tracker_config(cfg: dict) -> TrackerConfig:
+    t = cfg["tracking"]
+    return TrackerConfig(
+        max_iters=int(t["max_iters"]), C_conf=float(t["C_conf"]),
+        Q_conf=float(t["Q_conf"]), rel_error=float(t["rel_error"]),
+        delta_norm=float(t["delta_norm"]), huber=float(t["huber"]),
+        min_match_frac=float(t["min_match_frac"]),
+        match_frac_thresh=float(t["match_frac_thresh"]),
+        sigma_ray=float(t["sigma_ray"]), sigma_dist=float(t["sigma_dist"]),
+        sigma_pixel=float(t["sigma_pixel"]), sigma_depth=float(t["sigma_depth"]),
+        pixel_border=int(t["pixel_border"]), depth_eps=float(t["depth_eps"]),
+    )
+
+
+def make_ba_config(cfg: dict, point_chunk: int = 8192) -> BAConfig:
+    o = cfg["local_opt"]
+    return BAConfig(
+        pin=int(o["pin"]), max_iters=int(o["max_iters"]),
+        C_conf=float(o["C_conf"]), Q_conf=float(o["Q_conf"]),
+        sigma_ray=float(o["sigma_ray"]), sigma_dist=float(o["sigma_dist"]),
+        sigma_pixel=float(o["sigma_pixel"]), sigma_depth=float(o["sigma_depth"]),
+        delta_norm=float(o["delta_norm"]), pixel_border=int(o["pixel_border"]),
+        depth_eps=float(o["depth_eps"]), point_chunk=point_chunk,
+    )
+
+
+def make_matching_config(cfg: dict) -> MatchingConfig:
+    m = cfg["matching"]
+    return MatchingConfig(
+        max_iter=int(m["max_iter"]), lambda_init=float(m["lambda_init"]),
+        convergence_thresh=float(m["convergence_thresh"]),
+        dist_thresh=float(m["dist_thresh"]), radius=int(m["radius"]),
+        dilation_max=int(m["dilation_max"]),
+    )
+
+
+def make_factor_graph_config(cfg: dict, edge_capacity: int = 256
+                             ) -> FactorGraphConfig:
+    o = cfg["local_opt"]
+    return FactorGraphConfig(
+        edge_capacity=edge_capacity, Q_conf=float(o["Q_conf"]),
+        min_match_frac=float(o["min_match_frac"]),
+    )
+
+
+def make_retrieval_config(cfg: dict) -> RetrievalConfig:
+    return RetrievalConfig()

@@ -170,51 +170,51 @@ def rel(Ti: jnp.ndarray, Tj: jnp.ndarray) -> jnp.ndarray:
 def _w_coefficients(theta_sq, theta, sigma, scale):
     """A, B, C coefficients of W = C I + A Phi + B Phi^2 in the Sim3 exp.
 
-    Executable spec: gn_kernels.cu:323-390 (itself following lietorch rxso3).
-    Branchless via jnp.where with guarded denominators.
+    Semantics follow gn_kernels.cu:323-390 (lietorch rxso3), but the branch
+    structure is reworked for fp32: the reference's closed forms suffer
+    catastrophic cancellation for |sigma| or theta in [1e-6, 1e-2] (e.g.
+    (scale-1)/sigma as exp(s)-1 at s=1e-5 loses ~3 digits), so we use
+    expm1-based forms and Taylor series (from A = int_0^1 t e^{s t} dt,
+    B = int_0^1 t^2/2 e^{s t} dt at theta->0) with wide thresholds.
     """
     one = 1.0
-    small_sigma = jnp.abs(sigma) < _EPS
-    small_theta = jnp.abs(theta) < _EPS
+    s_tiny = jnp.abs(sigma) < 1e-20
+    s_small = jnp.abs(sigma) < 0.1
+    t_small = theta < 1e-2
 
-    safe_theta_sq = jnp.where(small_theta, 1.0, theta_sq)
-    safe_theta = jnp.where(small_theta, 1.0, theta)
-    safe_sigma = jnp.where(small_sigma, 1.0, sigma)
+    safe_theta_sq = jnp.where(t_small, 1.0, theta_sq)
+    safe_theta = jnp.where(t_small, 1.0, theta)
+    safe_sigma = jnp.where(s_tiny, 1.0, sigma)
     sigma_sq = sigma * sigma
-    safe_sigma_sq = jnp.where(small_sigma, 1.0, sigma_sq)
 
-    # sigma ~ 0 branch
-    C0 = jnp.ones_like(sigma)
-    A0 = jnp.where(
-        small_theta,
-        0.5 * jnp.ones_like(theta),
-        (one - jnp.cos(theta)) / safe_theta_sq,
-    )
-    B0 = jnp.where(
-        small_theta,
-        jnp.full_like(theta, 1.0 / 6.0),
-        (theta - jnp.sin(theta)) / (safe_theta_sq * safe_theta),
-    )
+    # C = expm1(s)/s is cancellation-free for any s != 0
+    C = jnp.where(s_tiny, 1.0 + 0.5 * sigma, jnp.expm1(sigma) / safe_sigma)
 
-    # sigma != 0 branch
-    C1 = (scale - one) / safe_sigma
-    A1_small_t = ((sigma - one) * scale + one) / safe_sigma_sq
-    B1_small_t = (scale * 0.5 * sigma_sq + scale - one - sigma * scale) / (
+    # --- theta small ------------------------------------------------------
+    # series in sigma (valid |s| < 0.1), with theta^2 correction at s~0
+    A_ts = (0.5 - theta_sq / 24.0) + sigma * (1.0 / 3.0) \
+        + sigma_sq * (1.0 / 8.0) + sigma * sigma_sq * (1.0 / 30.0)
+    B_ts = (1.0 / 6.0 - theta_sq / 120.0) + sigma * (1.0 / 8.0) \
+        + sigma_sq * (1.0 / 20.0) + sigma * sigma_sq * (1.0 / 72.0)
+    # exact small-theta forms for large |s|
+    safe_sigma_sq = jnp.where(s_small, 1.0, sigma_sq)
+    A_tl = (sigma * scale - jnp.expm1(sigma)) / safe_sigma_sq
+    B_tl = (0.5 * sigma_sq * scale + jnp.expm1(sigma) - sigma * scale) / (
         safe_sigma_sq * safe_sigma
     )
+    A_t = jnp.where(s_small, A_ts, A_tl)
+    B_t = jnp.where(s_small, B_ts, B_tl)
+
+    # --- theta large ------------------------------------------------------
     a = scale * jnp.sin(theta)
     b = scale * jnp.cos(theta)
     c = theta_sq + sigma_sq
-    safe_c = jnp.where(small_theta, 1.0, c)
-    A1_big_t = (a * sigma + (one - b) * theta) / (safe_theta * safe_c)
-    B1_big_t = (C1 - ((b - one) * sigma + a * theta) / safe_c) / safe_theta_sq
+    safe_c = jnp.where(t_small, 1.0, c)
+    A_g = (a * sigma + (one - b) * theta) / (safe_theta * safe_c)
+    B_g = (C - ((b - one) * sigma + a * theta) / safe_c) / safe_theta_sq
 
-    A1 = jnp.where(small_theta, A1_small_t, A1_big_t)
-    B1 = jnp.where(small_theta, B1_small_t, B1_big_t)
-
-    A = jnp.where(small_sigma, A0, A1)
-    B = jnp.where(small_sigma, B0, B1)
-    C = jnp.where(small_sigma, C0, C1)
+    A = jnp.where(t_small, A_t, A_g)
+    B = jnp.where(t_small, B_t, B_g)
     return A, B, C
 
 

@@ -1,0 +1,75 @@
+"""Distributed global bundle adjustment over a device mesh.
+
+Scale-out design (no reference counterpart — the reference is single-GPU;
+see SURVEY.md §5.7/§7.10): the edge set is sharded across devices, each
+device accumulates the dense normal-equation contribution of its local
+edges (the per-edge einsum of slam/ba.py), the partial 7Kx7K systems are
+combined with one ``psum`` over ICI, and every device runs the (small)
+Cholesky solve redundantly — cheaper than a distributed solve at K <= 512
+and keeps poses replicated for the next iteration without an all-gather.
+
+Communication per GN iteration: one all-reduce of (7K)^2 + 7K floats
+(K = keyframe capacity), independent of edge count and points per edge —
+the heavy O(E * h * w) Jacobian work is fully parallel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..lie import sim3
+from ..slam import ba
+
+
+def _shard_axis_size(mesh: Mesh, axis: str):
+    return mesh.shape[axis]
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
+def gauss_newton_rays_dist(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
+                           edge_mask, n_kf, mesh: Mesh, cfg: ba.BAConfig,
+                           axis: str = "edge"):
+    """Edge-sharded ray/dist global GN. Same contract as
+    slam.ba.gauss_newton_rays; edge arrays must have their leading dim
+    divisible by the mesh size (pad with masked edges)."""
+    K_cap = T_WCs.shape[0]
+
+    def local_iteration(T, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l):
+        H, g = ba._edge_terms_rays(T, Xs, Cs, ii_l, jj_l, idx_l, vm_l, Q_l,
+                                   mask_l, cfg)
+        Hd, gd = ba._assemble(H, g, ii_l, jj_l, n_kf, K_cap, cfg.pin)
+        Hd = jax.lax.psum(Hd, axis)
+        gd = jax.lax.psum(gd, axis)
+        dx, free = ba._solve(Hd, gd, n_kf, K_cap, cfg.pin)
+        return dx, free
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(T0, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l):
+        def body(state):
+            T, it, done = state
+            dx, free = local_iteration(T, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l)
+            T_new = sim3.retr(T, dx)
+            T = jnp.where(free[:, None], T_new, T)
+            delta = jnp.linalg.norm(jnp.where(free[:, None], dx, 0.0))
+            return T, it + 1, delta < cfg.delta_norm
+
+        def cond(state):
+            _, it, done = state
+            return (~done) & (it < cfg.max_iters)
+
+        T, _, _ = jax.lax.while_loop(
+            cond, body, (T0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        )
+        return T
+
+    return run(T_WCs, ii, jj, idx_ii2jj, valid_match, Q, edge_mask)

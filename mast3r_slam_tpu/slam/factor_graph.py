@@ -1,0 +1,198 @@
+"""Keyframe factor graph: edge proposal, gating and global-GN dispatch.
+
+TPU-native re-design of /root/reference/mast3r_slam/global_opt.py. The
+reference grows torch tensors per edge (global_opt.py:89-96) and calls CUDA
+solvers; here edges live in capacity-padded device buffers (so the BA
+kernels compile once) and candidate edges are decoded **batched** through
+the two-view model (mast3r.inference_symmetric) instead of the reference's
+per-edge python loop (mast3r_utils.py:83-115).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geometry
+from ..models import mast3r
+from ..ops import matching
+from . import ba
+from .frame import KeyframeStore
+
+
+class FactorGraphConfig(NamedTuple):
+    edge_capacity: int = 256
+    Q_conf: float = 1.5
+    min_match_frac: float = 0.1
+    matching: dict = None  # set from the global config at construction
+
+
+@partial(jax.jit, static_argnames=("cfg", "mcfg"))
+def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j):
+    """Decode + match both directions of a batch of candidate edges.
+
+    Returns per-edge match arrays mirroring mast3r_match_symmetric
+    (mast3r_utils.py:142-180): idx_i2j, idx_j2i (b, P) int32; valid_match_j,
+    valid_match_i (b, P, 1); Qii/Qjj/Qji/Qij (b, P).
+    """
+    out = mast3r.inference_symmetric(params, feat_i, pos_i, feat_j, pos_j, cfg)
+    b = feat_i.shape[0]
+    X11 = jnp.concatenate([out["Xii"], out["Xjj"]], axis=0)
+    X21 = jnp.concatenate([out["Xji"], out["Xij"]], axis=0)
+    D11 = jnp.concatenate([out["Dii"], out["Djj"]], axis=0)
+    D21 = jnp.concatenate([out["Dji"], out["Dij"]], axis=0)
+    idx, valid = matching.match(X11, X21, D11, D21, **mcfg._asdict())
+    hw = X11.shape[1] * X11.shape[2]
+    flat = lambda a: a.reshape(b, hw)
+    return {
+        "idx_i2j": idx[:b],
+        "idx_j2i": idx[b:],
+        "valid_match_j": valid[:b],
+        "valid_match_i": valid[b:],
+        "Qii": flat(out["Qii"]),
+        "Qjj": flat(out["Qjj"]),
+        "Qji": flat(out["Qji"]),
+        "Qij": flat(out["Qij"]),
+    }
+
+
+class MatchingConfig(NamedTuple):
+    max_iter: int = 10
+    lambda_init: float = 1e-8
+    convergence_thresh: float = 1e-6
+    dist_thresh: float = 0.1
+    radius: int = 3
+    dilation_max: int = 5
+
+
+class FactorGraph:
+    """Host-side edge bookkeeping over device buffers.
+
+    Edge arrays are (E_cap, ...) with ``n_edges`` active; ``add_factors``
+    mirrors global_opt.py:30-99 (bidirectional match-fraction gating,
+    consecutive-edge exemption, strict reloc mode).
+    """
+
+    def __init__(self, params, model_cfg, keyframes: KeyframeStore,
+                 cfg: FactorGraphConfig, ba_cfg: ba.BAConfig,
+                 mcfg: MatchingConfig, K=None):
+        self.params = params
+        self.model_cfg = model_cfg
+        self.frames = keyframes
+        self.cfg = cfg
+        self.ba_cfg = ba_cfg
+        self.mcfg = mcfg
+        self.K = K
+
+        E, P = cfg.edge_capacity, keyframes.X.shape[1]
+        self.n_edges = 0
+        self.ii = jnp.zeros((E,), jnp.int32)
+        self.jj = jnp.zeros((E,), jnp.int32)
+        self.idx_ii2jj = jnp.zeros((E, P), jnp.int32)
+        self.valid_match = jnp.zeros((E, P), bool)
+        self.Q = jnp.zeros((E, P), jnp.float32)
+
+    # -- edge construction ---------------------------------------------------
+
+    def add_factors(self, ii, jj, min_match_frac, is_reloc=False):
+        """Propose edges (i, j); returns True if any edge was accepted."""
+        if not ii:
+            return False
+        ii_arr = np.asarray(ii, dtype=np.int32)
+        jj_arr = np.asarray(jj, dtype=np.int32)
+        feat_i = self.frames.feat[ii_arr].astype(jnp.float32)
+        feat_j = self.frames.feat[jj_arr].astype(jnp.float32)
+        pos_i = self.frames.pos[ii_arr]
+        pos_j = self.frames.pos[jj_arr]
+
+        m = _match_edges_symmetric(self.params, self.model_cfg, self.mcfg,
+                                   feat_i, pos_i, feat_j, pos_j)
+
+        b, P = m["idx_i2j"].shape
+        # paired desc-confidences (global_opt.py:55-58)
+        Qj = jnp.sqrt(
+            jnp.take_along_axis(m["Qii"], m["idx_i2j"], axis=1) * m["Qji"]
+        )
+        Qi = jnp.sqrt(
+            jnp.take_along_axis(m["Qjj"], m["idx_j2i"], axis=1) * m["Qij"]
+        )
+        valid_j = m["valid_match_j"][..., 0] & (Qj > self.cfg.Q_conf)
+        valid_i = m["valid_match_i"][..., 0] & (Qi > self.cfg.Q_conf)
+        frac_j = np.asarray(valid_j.mean(axis=1))
+        frac_i = np.asarray(valid_i.mean(axis=1))
+
+        invalid = np.minimum(frac_j, frac_i) < min_match_frac
+        consecutive = ii_arr == (jj_arr - 1)
+        invalid = (~consecutive) & invalid
+        if invalid.any() and is_reloc:
+            return False
+        keep = ~invalid
+        if not keep.any():
+            return False
+
+        for k in np.nonzero(keep)[0]:
+            # two-way storage: (i -> j) and (j -> i) as separate edges,
+            # replacing prep_two_way_edges (global_opt.py:104-110)
+            self._append_edge(int(ii_arr[k]), int(jj_arr[k]),
+                              m["idx_i2j"][k], m["valid_match_j"][k, :, 0],
+                              Qj[k])
+            self._append_edge(int(jj_arr[k]), int(ii_arr[k]),
+                              m["idx_j2i"][k], m["valid_match_i"][k, :, 0],
+                              Qi[k])
+        return True
+
+    def _append_edge(self, i, j, idx, valid, Q):
+        e = self.n_edges
+        assert e < self.cfg.edge_capacity, "edge buffer full"
+        self.ii = self.ii.at[e].set(i)
+        self.jj = self.jj.at[e].set(j)
+        self.idx_ii2jj = self.idx_ii2jj.at[e].set(idx)
+        self.valid_match = self.valid_match.at[e].set(valid)
+        self.Q = self.Q.at[e].set(Q)
+        self.n_edges = e + 1
+
+    @property
+    def edge_mask(self):
+        return (jnp.arange(self.cfg.edge_capacity) < self.n_edges).astype(
+            jnp.float32
+        )
+
+    def unique_kf_idx(self):
+        e = self.n_edges
+        return np.unique(np.concatenate([
+            np.asarray(self.ii[:e]), np.asarray(self.jj[:e])
+        ])) if e else np.array([], dtype=np.int64)
+
+    # -- solvers -------------------------------------------------------------
+
+    def solve_GN_rays(self):
+        if self.n_edges == 0 or len(self.frames) <= self.ba_cfg.pin:
+            return
+        T = ba.gauss_newton_rays(
+            self.frames.T_WC, self.frames.X, self.frames.average_confs(),
+            self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
+            self.edge_mask, jnp.asarray(len(self.frames)), self.ba_cfg,
+        )
+        self.frames.update_T_WCs(T)
+
+    def solve_GN_calib(self):
+        if self.n_edges == 0 or len(self.frames) <= self.ba_cfg.pin:
+            return
+        img_size = (self.frames.h, self.frames.w)
+        Xs = constrain_all(self.frames.X, self.K, img_size)
+        T = ba.gauss_newton_calib(
+            self.frames.T_WC, Xs, self.frames.average_confs(), self.K,
+            self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
+            self.edge_mask, jnp.asarray(len(self.frames)), img_size,
+            self.ba_cfg,
+        )
+        self.frames.update_T_WCs(T)
+
+
+@partial(jax.jit, static_argnames=("img_size",))
+def constrain_all(Xs, K, img_size):
+    return jax.vmap(lambda X: geometry.constrain_points_to_ray(img_size, X, K))(Xs)

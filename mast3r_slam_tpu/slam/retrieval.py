@@ -1,0 +1,318 @@
+"""Retrieval database for loop closure (ASMK over encoder features).
+
+TPU-native re-design of /root/reference/mast3r_slam/retrieval_database.py and
+the used subset of the ASMK library (thirdparty/mast3r/asmk) + retrieval
+head (thirdparty/mast3r/mast3r/retrieval/model.py):
+
+* feature prep (prewhiten -> projector -> l2-norm attention -> postwhiten ->
+  top-nfeat selection) and codebook quantization (L2 top-k against the 64k
+  codebook via one MXU matmul, as the reference already does with torch,
+  retrieval_database.py:96-105) run jit-compiled on device;
+* the inverted file (growable posting lists of binarized aggregated
+  residuals) stays host-side numpy — it is tiny, latency-bound and keeps
+  the device stream free (SURVEY.md §7 "hard parts"); a C++ popcount path
+  (native/asmk.cpp) accelerates scoring when built, with a numpy fallback.
+
+Scoring follows the reference parameters exactly (processor.py:91-97):
+binary kernel, no idf, multiple-assignment 1 on build / 5 on query,
+monomial alpha=3, similarity threshold 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RetrievalConfig(NamedTuple):
+    nfeat: int = 300
+    ma_build: int = 1
+    ma_query: int = 5
+    alpha: float = 3.0
+    similarity_threshold: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# device-side: feature prep + quantization
+# ---------------------------------------------------------------------------
+
+
+def init_retrieval_params(key, backbone_dim=1024, proj_dim=1024,
+                          codebook_size=1024):
+    """Random-init retrieval head + codebook (for runs without the released
+    retrieval checkpoint; converter maps the real one onto the same tree)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "prewhiten": {"m": jnp.zeros((backbone_dim,)),
+                      "p": jnp.eye(backbone_dim)},
+        "projector": {"w": jax.random.normal(k1, (backbone_dim, proj_dim))
+                      / jnp.sqrt(backbone_dim),
+                      "b": jnp.zeros((proj_dim,))},
+        "postwhiten": {"m": jnp.zeros((proj_dim,)), "p": jnp.eye(proj_dim)},
+        "centroids": jax.random.normal(k2, (codebook_size, proj_dim)),
+    }
+
+
+def convert_retrieval_checkpoint(path, codebook_pkl=None):
+    """Map the released trainingfree retrieval .pth (+ codebook pickle) onto
+    our param tree. Spec: Retriever.__init__ (processor.py:65-99)."""
+    import pickle
+
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    np_ = lambda k: sd[k].detach().cpu().numpy().astype(np.float32)
+    params = {
+        "prewhiten": {"m": np_("prewhiten.m").reshape(-1),
+                      "p": np_("prewhiten.p")},
+        "projector": {"w": np_("projector.weight").T,
+                      "b": np_("projector.bias")},
+        "postwhiten": {"m": np_("postwhiten.m").reshape(-1),
+                       "p": np_("postwhiten.p")}
+        if "postwhiten.m" in sd else None,
+    }
+    if codebook_pkl is not None:
+        with open(codebook_pkl, "rb") as f:
+            cb = pickle.load(f)
+        params["centroids"] = np.asarray(
+            cb["train_codebook"]["codebook"]["centroids"]
+            if isinstance(cb, dict) and "train_codebook" in cb else cb,
+            dtype=np.float32,
+        )
+    return params
+
+
+@partial(jax.jit, static_argnames=("nfeat",))
+def prep_features(rparams, backbone_feat, nfeat: int):
+    """Whiten/project/select local features (spec: RetrievalDatabase.
+    prep_features, retrieval_database.py:25-41; how_select_local model.py:88).
+
+    backbone_feat: (n, backbone_dim) encoder tokens of one frame.
+    Returns (nfeat, proj_dim) float32.
+    """
+    pw = rparams["prewhiten"]
+    x = (backbone_feat - pw["m"]) @ pw["p"]
+    proj = x @ rparams["projector"]["w"] + rparams["projector"]["b"]
+    attention = jnp.linalg.norm(proj, axis=-1)
+    if rparams.get("postwhiten") is not None:
+        pow_ = rparams["postwhiten"]
+        proj = (proj - pow_["m"]) @ pow_["p"]
+    k = min(nfeat, proj.shape[0])
+    _, top_idx = jax.lax.top_k(attention, k)
+    return proj[top_idx]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def quantize(feats, centroids, k: int):
+    """Top-k nearest centroids by L2 (spec: quantize_custom,
+    retrieval_database.py:96-105 — the expanded-norm matmul trick)."""
+    d2 = (
+        jnp.sum(feats ** 2, axis=1)[:, None]
+        + jnp.sum(centroids ** 2, axis=1)[None, :]
+        - 2.0 * feats @ centroids.T
+    )
+    _, idx = jax.lax.top_k(-d2, k)
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# host-side: binarized inverted file
+# ---------------------------------------------------------------------------
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def binarize_pack(des: np.ndarray) -> np.ndarray:
+    """Sign-binarize rows and pack to uint8 (spec: hamming.pyx
+    binarize_and_pack_2D — bit set iff value > 0)."""
+    return np.packbits(des > 0, axis=-1)
+
+
+def hamming_cdist_packed(a: np.ndarray, b: np.ndarray, nbits: int):
+    """Normalized Hamming distance between packed rows (hamming.pyx:128)."""
+    x = np.bitwise_xor(a[:, None, :], b[None, :, :])
+    return _POPCNT8[x].sum(axis=-1).astype(np.float32) / nbits
+
+
+class IVF:
+    """Growable per-visual-word posting lists of binarized residuals.
+
+    Spec: asmk/inverted_file.py (add :55-84, search :86-108) with idf
+    disabled (idf == 1 for every word), as configured by the reference.
+    """
+
+    def __init__(self, n_words: int, dim: int):
+        self.n_words = n_words
+        self.dim = dim
+        self.vecs = [None] * n_words       # packed uint8 arrays (cap, dim/8)
+        self.imids = [None] * n_words
+        self.counts = np.zeros(n_words, dtype=np.int64)
+        self.norm_factor = np.zeros(0)
+        self.n_images = 0
+
+    def add(self, agg_des, agg_words, agg_imids):
+        max_imid = int(agg_imids.max())
+        if max_imid + 1 > len(self.norm_factor):
+            self.norm_factor = np.concatenate(
+                [self.norm_factor, np.zeros(max_imid + 1 - len(self.norm_factor))]
+            )
+        self.n_images = max(self.n_images, max_imid + 1)
+        for vec, word, imid in zip(agg_des, agg_words, agg_imids):
+            w = int(word)
+            c = self.counts[w]
+            if self.vecs[w] is None:
+                cap = 8
+                self.vecs[w] = np.zeros((cap,) + vec.shape, dtype=vec.dtype)
+                self.imids[w] = np.zeros(cap, dtype=np.int64)
+            elif c >= self.vecs[w].shape[0]:
+                new_cap = int(np.ceil(self.vecs[w].shape[0] * 1.5))
+                self.vecs[w] = np.resize(self.vecs[w],
+                                         (new_cap,) + vec.shape)
+                self.imids[w] = np.resize(self.imids[w], new_cap)
+            self.vecs[w][c] = vec
+            self.imids[w][c] = imid
+            self.counts[w] += 1
+            self.norm_factor[int(imid)] += 1
+
+    def search(self, agg_des, agg_words, alpha, sim_thresh):
+        scores = np.zeros(self.n_images, dtype=np.float32)
+        q_norm = 0.0
+        for qvec, word in zip(agg_des, agg_words):
+            w = int(word)
+            q_norm += 1.0
+            c = self.counts[w]
+            if c == 0:
+                continue
+            nh = hamming_cdist_packed(qvec[None], self.vecs[w][:c],
+                                      self.dim)[0]
+            sim = 1.0 - 2.0 * nh
+            mask = sim >= sim_thresh
+            s = np.power(sim[mask], alpha)
+            imids = self.imids[w][:c][mask]
+            s = s / np.sqrt(self.norm_factor[imids])
+            np.add.at(scores, imids, s)
+        if q_norm > 0:
+            scores /= np.sqrt(q_norm)
+        return scores
+
+    def state_dict(self):
+        return {
+            "n_words": self.n_words, "dim": self.dim,
+            "vecs": self.vecs, "imids": self.imids, "counts": self.counts,
+            "norm_factor": self.norm_factor, "n_images": self.n_images,
+        }
+
+    @classmethod
+    def from_state(cls, state):
+        ivf = cls(state["n_words"], state["dim"])
+        ivf.vecs = state["vecs"]
+        ivf.imids = state["imids"]
+        ivf.counts = state["counts"]
+        ivf.norm_factor = state["norm_factor"]
+        ivf.n_images = state["n_images"]
+        return ivf
+
+
+def aggregate_residuals(des: np.ndarray, word_ids: np.ndarray,
+                        centroids: np.ndarray):
+    """Per-visual-word residual aggregation (spec: kernel.py:26-39).
+
+    des: (n, dim) raw features; word_ids: (n, ma) top-k assignments.
+    Returns (residual sums (u, dim) float32, unique word ids (u,)).
+    """
+    unique_ids = np.unique(word_ids)
+    ades = np.empty((unique_ids.shape[0], des.shape[1]), dtype=np.float32)
+    for i, word in enumerate(unique_ids):
+        sel = (word_ids == word).any(axis=1)
+        ades[i] = (des[sel] - centroids[word]).sum(0)
+    return ades, unique_ids
+
+
+def aggregate_image(des: np.ndarray, word_ids: np.ndarray,
+                    centroids: np.ndarray):
+    """Binarized aggregation for the numpy IVF path."""
+    ades, unique_ids = aggregate_residuals(des, word_ids, centroids)
+    return binarize_pack(ades), unique_ids
+
+
+class RetrievalDatabase:
+    """Incremental retrieval DB (spec: RetrievalDatabase,
+    retrieval_database.py:9-166). Uses the native C++ inverted file
+    (mast3r_slam_tpu/native) when the library builds; numpy otherwise."""
+
+    def __init__(self, rparams, cfg: RetrievalConfig = RetrievalConfig(),
+                 use_native: bool = True):
+        from .. import native as native_mod
+
+        self.rparams = rparams
+        self.cfg = cfg
+        self.centroids_np = np.asarray(rparams["centroids"])
+        n_words, dim = self.centroids_np.shape
+        self.native = native_mod if (use_native and native_mod.load()) else None
+        if self.native:
+            self.ivf = native_mod.NativeIVF(n_words, dim)
+        else:
+            self.ivf = IVF(n_words, dim)
+        self.kf_counter = 0
+
+    def _features(self, backbone_feat):
+        feats = prep_features(self.rparams, backbone_feat, self.cfg.nfeat)
+        return np.asarray(feats)
+
+    def update(self, backbone_feat, add_after_query: bool, k: int,
+               min_thresh: float = 0.0):
+        """Query top-k similar keyframes, then optionally insert.
+
+        backbone_feat: (n, backbone_dim) encoder tokens of the frame.
+        Returns a list of keyframe indices (reference semantics:
+        retrieval_database.py:43-72).
+        """
+        feats = self._features(backbone_feat)
+        topk_inds: list = []
+        q_words = None
+        if self.kf_counter > 0:
+            words = np.asarray(
+                quantize(jnp.asarray(feats), self.rparams["centroids"],
+                         self.cfg.ma_query)
+            )
+            q_words = words
+            ades, agg_ids = aggregate_residuals(feats, words,
+                                                self.centroids_np)
+            if self.native:
+                packed = self.native.binarize_pack64(ades)
+                scores = self.ivf.search_packed(
+                    packed, agg_ids.astype(np.int64), self.cfg.alpha,
+                    self.cfg.similarity_threshold)
+            else:
+                scores = self.ivf.search(binarize_pack(ades), agg_ids,
+                                         self.cfg.alpha,
+                                         self.cfg.similarity_threshold)
+            order = np.argsort(-scores)[: min(k, self.ivf.n_images)]
+            topk_inds = [int(i) for i in order if scores[i] > min_thresh]
+
+        if add_after_query:
+            words_b = (
+                q_words[:, : self.cfg.ma_build]
+                if q_words is not None
+                else np.asarray(
+                    quantize(jnp.asarray(feats), self.rparams["centroids"],
+                             self.cfg.ma_build)
+                )
+            )
+            ades, agg_ids = aggregate_residuals(feats, words_b,
+                                                self.centroids_np)
+            if self.native:
+                self.ivf.add_packed(self.native.binarize_pack64(ades),
+                                    agg_ids.astype(np.int64),
+                                    self.kf_counter)
+            else:
+                self.ivf.add(binarize_pack(ades), agg_ids,
+                             np.full(agg_ids.shape[0], self.kf_counter,
+                                     dtype=np.int64))
+            self.kf_counter += 1
+        return topk_inds

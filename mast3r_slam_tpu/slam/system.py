@@ -1,0 +1,396 @@
+"""SLAM system orchestration: frontend tracking, backend optimization, modes.
+
+TPU-native re-design of the reference driver (/root/reference/main.py) and
+FrameTracker (/root/reference/mast3r_slam/tracker.py:28-127). The reference
+runs three processes over shared CUDA tensors; here a single controller
+drives jit-compiled stages — frontend tracking and backend global
+optimization interleave on the device queue (async dispatch gives the
+overlap the reference got from processes), and ``single_thread`` semantics
+(deterministic eval) are the default execution order.
+
+The per-frame hot path is three compiled programs:
+  1. ``encode``             (ViT-L, new frame only — keyframe feat cached)
+  2. ``_track_match``       (dual decoder + heads + projective matcher)
+  3. ``opt_pose_*_sim3``    (GN on the matched points)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import mast3r
+from ..ops import matching
+from . import ba, tracker as tracker_mod
+from .factor_graph import FactorGraph, FactorGraphConfig, MatchingConfig
+from .frame import Frame, KeyframeStore, Mode
+from .retrieval import RetrievalConfig, RetrievalDatabase
+
+
+@partial(jax.jit, static_argnames=("cfg", "mcfg"))
+def _track_match(params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init):
+    """Asymmetric two-view inference + frame->keyframe matching.
+
+    Spec: mast3r_match_asymmetric (mast3r_utils.py:209-231). Returns flat
+    (h*w, ...) arrays: idx_f2k, valid, Xff, Cff, Qff, Xkf, Ckf, Qkf.
+    """
+    X, C, D, Q = mast3r.inference_asymmetric(params, feat_f, pos_f, feat_k,
+                                             pos_k, cfg)
+    Xff, Xkf = X[0:1], X[1:2]
+    Dff, Dkf = D[0:1], D[1:2]
+    idx, valid = matching.match(Xff, Xkf, Dff, Dkf,
+                                idx_1_to_2_init=idx_init, **mcfg._asdict())
+    hw = X.shape[1] * X.shape[2]
+    flat = lambda a: a.reshape(hw, -1)
+    return (idx[0], valid[0],
+            flat(Xff), flat(C[0:1]), flat(Q[0:1]),
+            flat(Xkf), flat(C[1:2]), flat(Q[1:2]))
+
+
+class TrackerRunner:
+    """Frame-to-keyframe tracking driver (spec: FrameTracker, tracker.py)."""
+
+    def __init__(self, params, model_cfg, keyframes: KeyframeStore,
+                 tcfg: tracker_mod.TrackerConfig, mcfg: MatchingConfig,
+                 filtering_mode: str = "weighted_pointmap", use_calib=False,
+                 K=None):
+        self.params = params
+        self.model_cfg = model_cfg
+        self.keyframes = keyframes
+        self.tcfg = tcfg
+        self.mcfg = mcfg
+        self.filtering_mode = filtering_mode
+        self.use_calib = use_calib
+        self.K = K
+        self.idx_f2k = None
+
+    def reset_idx(self):
+        self.idx_f2k = None
+
+    def track(self, frame: Frame):
+        """Track ``frame`` against the last keyframe.
+
+        Returns (new_kf: bool, try_reloc: bool). Mirrors tracker.py:28-127.
+        """
+        kf = self.keyframes.last_keyframe()
+        cfg, tcfg = self.model_cfg, self.tcfg
+
+        idx_init = self.idx_f2k
+        (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf) = _track_match(
+            self.params, cfg, self.mcfg, frame.feat[None], frame.pos[None],
+            kf.feat[None], kf.pos[None],
+            idx_init[None] if idx_init is not None else None,
+        )
+        self.idx_f2k = idx_f2k
+
+        Qk = jnp.sqrt(Qff[idx_f2k, 0:1] * Qkf)
+
+        frame.update_pointmap(Xff, Cff, self.filtering_mode)
+
+        Cf_avg = frame.get_average_conf()
+        Ck_avg = kf.get_average_conf()
+
+        valid_opt = (
+            valid_match_k
+            & (Cf_avg[idx_f2k] > tcfg.C_conf)
+            & (Ck_avg > tcfg.C_conf)
+            & (Qk > tcfg.Q_conf)
+        )
+        valid_kf = valid_match_k & (Qk > tcfg.Q_conf)
+
+        match_frac = float(valid_opt.mean())
+        if match_frac < tcfg.min_match_frac:
+            print(f"Skipped frame {frame.frame_id}")
+            return False, True
+
+        Xf = frame.X_canon
+        Xk = kf.X_canon
+        img_size = (self.keyframes.h, self.keyframes.w)
+        if self.use_calib:
+            from .. import geometry
+
+            Xf = geometry.constrain_points_to_ray(img_size, Xf, self.K)
+            Xk = geometry.constrain_points_to_ray(img_size, Xk, self.K)
+
+        T_CkCf_init = jnp.asarray(
+            np.asarray(
+                jnp.reshape(
+                    _rel_pose(kf.T_WC, frame.T_WC), (8,)
+                )
+            )
+        )
+
+        if not self.use_calib:
+            res = tracker_mod.opt_pose_ray_dist_sim3(
+                Xf[idx_f2k], Xk, T_CkCf_init, Qk, valid_opt, tcfg)
+        else:
+            meas_k, valid_meas_k = tracker_mod.calib_measurements(
+                Xk, self.K, img_size, tcfg.depth_eps)
+            res = tracker_mod.opt_pose_calib_sim3(
+                Xf[idx_f2k], Xk, T_CkCf_init, Qk, valid_opt, meas_k,
+                valid_meas_k, self.K, img_size, tcfg)
+
+        if bool(res.failed):
+            print(f"Cholesky failed {frame.frame_id}")
+            return False, True
+
+        T_CkCf = res.T_CkCf
+        frame.T_WC = _compose(kf.T_WC, T_CkCf)
+
+        # map keyframe-frame points into keyframe coords and fuse
+        Xkk = _act(T_CkCf, Xkf)
+        kf.update_pointmap(Xkk, Ckf, self.filtering_mode)
+        self.keyframes.set_frame(len(self.keyframes) - 1, kf)
+
+        # keyframe decision (tracker.py:104-110)
+        match_frac_k = float(valid_kf.mean())
+        n = valid_kf.shape[0]
+        uniq = np.unique(np.asarray(idx_f2k)[np.asarray(valid_match_k)[:, 0]])
+        unique_frac_f = uniq.shape[0] / n
+        new_kf = min(match_frac_k, unique_frac_f) < tcfg.match_frac_thresh
+        if new_kf:
+            self.reset_idx()
+        return new_kf, False
+
+
+@jax.jit
+def _rel_pose(Ta, Tb):
+    from ..lie import sim3
+
+    return sim3.rel(Ta, Tb)
+
+
+@jax.jit
+def _compose(Ta, Tb):
+    from ..lie import sim3
+
+    return sim3.mul(Ta, Tb)
+
+
+@jax.jit
+def _act(T, X):
+    from ..lie import sim3
+
+    return sim3.act(T, X)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _mono_init(params, cfg, feat, pos):
+    return mast3r.inference_mono(params, feat, pos, cfg)
+
+
+class SLAMSystem:
+    """Full SLAM pipeline with the reference's mode state machine
+    (INIT -> TRACKING <-> RELOC -> TERMINATED; spec: main.py:236-313)."""
+
+    def __init__(self, params, model_cfg, config: dict, img_shape,
+                 retrieval_params=None, K=None,
+                 keyframe_capacity=None, edge_capacity=None):
+        from .. import config as config_mod
+
+        h, w = img_shape
+        rt = config.get("runtime", {})
+        kf_cap = keyframe_capacity or int(rt.get("keyframe_capacity", 512))
+        e_cap = edge_capacity or int(rt.get("edge_capacity", 1024))
+
+        self.config = config
+        self.model_cfg = model_cfg
+        self.params = params
+        self.use_calib = bool(config.get("use_calib", False))
+        self.K = K
+
+        num_points = h * w
+        num_patches = model_cfg.num_patches
+        self.keyframes = KeyframeStore(
+            kf_cap, num_points, num_patches, model_cfg.enc_embed_dim, (h, w))
+        self.keyframes.K = K
+
+        tcfg = config_mod.make_tracker_config(config)
+        mcfg = config_mod.make_matching_config(config)
+        ba_cfg = config_mod.make_ba_config(
+            config, point_chunk=int(rt.get("point_chunk", 8192)))
+        fg_cfg = config_mod.make_factor_graph_config(config, e_cap)
+
+        self.tracker = TrackerRunner(
+            params, model_cfg, self.keyframes, tcfg, mcfg,
+            filtering_mode=config["tracking"]["filtering_mode"],
+            use_calib=self.use_calib, K=K)
+        self.factor_graph = FactorGraph(params, model_cfg, self.keyframes,
+                                        fg_cfg, ba_cfg, mcfg, K=K)
+        self.retrieval = (
+            RetrievalDatabase(retrieval_params) if retrieval_params else None
+        )
+        self.mode = Mode.INIT
+        self.backend_queue: list = []
+        self.reloc_pending = False
+        self.current_frame: Optional[Frame] = None
+        self.stats = {"skipped": 0, "keyframes": 0, "loop_closures": 0,
+                      "relocs": 0}
+
+    # -- frame construction --------------------------------------------------
+
+    def make_frame(self, frame_id: int, img_np: np.ndarray) -> Frame:
+        """img_np: (h, w, 3) normalized float32 (already resized)."""
+        from ..lie import sim3
+
+        img = jnp.asarray(img_np)
+        T_WC = (self.current_frame.T_WC if self.current_frame is not None
+                else sim3.identity())
+        # uimg stays host-side (export/viz only)
+        frame = Frame(frame_id=frame_id, img=img,
+                      uimg=img_np * 0.5 + 0.5, T_WC=T_WC, K=self.K)
+        feat, pos = mast3r.encode(self.params, img[None], self.model_cfg)
+        frame.feat = feat[0]
+        frame.pos = pos[0]
+        return frame
+
+    # -- frontend ------------------------------------------------------------
+
+    def process_frame(self, frame: Frame):
+        """One frontend step; returns the (possibly updated) mode."""
+        if self.mode == Mode.INIT:
+            X, C = _mono_init(self.params, self.model_cfg, frame.feat[None],
+                              frame.pos[None])
+            frame.update_pointmap(X[0], C[0],
+                                  self.config["tracking"]["filtering_mode"])
+            self.keyframes.append(frame)
+            self.stats["keyframes"] += 1
+            self.backend_queue.append(len(self.keyframes) - 1)
+            self.mode = Mode.TRACKING
+            self.current_frame = frame
+            return self.mode
+
+        if self.mode == Mode.TRACKING:
+            new_kf, try_reloc = self.tracker.track(frame)
+            if try_reloc:
+                self.mode = Mode.RELOC
+                self.stats["skipped"] += 1
+            self.current_frame = frame
+            if new_kf:
+                self.keyframes.append(frame)
+                self.stats["keyframes"] += 1
+                self.backend_queue.append(len(self.keyframes) - 1)
+            return self.mode
+
+        if self.mode == Mode.RELOC:
+            X, C = _mono_init(self.params, self.model_cfg, frame.feat[None],
+                              frame.pos[None])
+            frame.update_pointmap(X[0], C[0],
+                                  self.config["tracking"]["filtering_mode"])
+            self.current_frame = frame
+            self.reloc_pending = True
+            return self.mode
+
+        raise RuntimeError(f"invalid mode {self.mode}")
+
+    # -- backend -------------------------------------------------------------
+
+    def backend_step(self):
+        """Process one backend task (global opt or reloc).
+
+        Spec: run_backend (main.py:74-142). Returns True if work was done.
+        """
+        if self.reloc_pending:
+            self.reloc_pending = False
+            success = self._relocalize(self.current_frame)
+            if success:
+                self.mode = Mode.TRACKING
+                self.stats["relocs"] += 1
+            return True
+
+        if not self.backend_queue:
+            return False
+        idx = self.backend_queue[0]
+
+        kf_idx = []
+        n_consec = 1
+        for j in range(min(n_consec, idx)):
+            kf_idx.append(idx - 1 - j)
+
+        if self.retrieval is not None:
+            frame = self.keyframes.get_frame(idx)
+            rcfg = self.config["retrieval"]
+            inds = self.retrieval.update(
+                frame.feat, add_after_query=True, k=int(rcfg["k"]),
+                min_thresh=float(rcfg["min_thresh"]))
+            lc = set(inds) - {idx - 1}
+            if lc:
+                self.stats["loop_closures"] += len(lc)
+            kf_idx += inds
+
+        kf_idx = list(set(kf_idx) - {idx})
+        if kf_idx:
+            self.factor_graph.add_factors(
+                kf_idx, [idx] * len(kf_idx),
+                float(self.config["local_opt"]["min_match_frac"]))
+
+        if self.use_calib:
+            self.factor_graph.solve_GN_calib()
+        else:
+            self.factor_graph.solve_GN_rays()
+
+        self.backend_queue.pop(0)
+        return True
+
+    def _relocalize(self, frame: Frame):
+        """Spec: relocalization() (main.py:28-71)."""
+        if self.retrieval is None:
+            return False
+        rcfg = self.config["retrieval"]
+        kf_idx = self.retrieval.update(
+            frame.feat, add_after_query=False, k=int(rcfg["k"]),
+            min_thresh=float(rcfg["min_thresh"]))
+        if not kf_idx:
+            return False
+        self.keyframes.append(frame)
+        n_kf = len(self.keyframes)
+        frame_idx = [n_kf - 1] * len(kf_idx)
+        print(f"RELOCALIZING against kf {n_kf - 1} and {kf_idx}")
+        ok = self.factor_graph.add_factors(
+            frame_idx, list(kf_idx),
+            float(self.config["reloc"]["min_match_frac"]),
+            is_reloc=bool(self.config["reloc"]["strict"]))
+        if ok:
+            self.retrieval.update(frame.feat, add_after_query=True,
+                                  k=int(rcfg["k"]),
+                                  min_thresh=float(rcfg["min_thresh"]))
+            # seed pose from the retrieved keyframe (main.py:61)
+            self.keyframes.T_WC = self.keyframes.T_WC.at[n_kf - 1].set(
+                self.keyframes.T_WC[kf_idx[0]])
+            self.stats["keyframes"] += 1
+            if self.use_calib:
+                self.factor_graph.solve_GN_calib()
+            else:
+                self.factor_graph.solve_GN_rays()
+            print("Success! Relocalized")
+            return True
+        self.keyframes.pop_last()
+        print("Failed to relocalize")
+        return False
+
+    # -- main loop -----------------------------------------------------------
+
+    def run(self, dataset, max_frames=None, progress=False):
+        """Synchronous (single_thread) end-to-end loop over a dataset."""
+        from ..io.image import resize_img
+
+        n = len(dataset) if max_frames is None else min(max_frames,
+                                                        len(dataset))
+        import time
+        t0 = time.time()
+        for i in range(n):
+            _, img = dataset[i]
+            res = resize_img(img, dataset.img_size)
+            frame = self.make_frame(i, res["img"])
+            self.process_frame(frame)
+            # single-thread semantics: drain backend after every frame
+            while self.backend_step():
+                pass
+            if progress and i % 30 == 0 and i > 0:
+                print(f"FPS: {i / (time.time() - t0):.2f}")
+        self.mode = Mode.TERMINATED
+        return self.stats

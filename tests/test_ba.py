@@ -1,0 +1,201 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu import geometry
+from mast3r_slam_tpu.lie import sim3
+from mast3r_slam_tpu.slam import ba
+
+
+def _make_world(key, n_kf=5, P=512):
+    """Ground-truth world: keyframe poses on a path + shared 3D structure.
+
+    Each keyframe observes the same world points; canonical pointmaps are the
+    world points in each camera's frame. Matches are identity (point p in
+    every view is the same world point).
+    """
+    kw, kp = jax.random.split(key)
+    pts_w = jax.random.normal(kp, (P, 3)) * jnp.array([1.0, 1.0, 0.5]) + jnp.array(
+        [0.0, 0.0, 4.0]
+    )
+    T_true = [sim3.identity()]
+    for i in range(1, n_kf):
+        xi = 0.12 * jax.random.normal(jax.random.fold_in(kw, i), (7,))
+        T_true.append(sim3.mul(T_true[-1], sim3.exp(xi)))
+    T_true = jnp.stack(T_true)                       # (n_kf, 8) T_WC
+    # canonical pointmaps: X_k = T_WC_k^{-1} world
+    Xs = jax.vmap(lambda T: sim3.act(sim3.inv(T), pts_w))(T_true)
+    return T_true, Xs
+
+
+def _edges(n_kf, P, extra=()):
+    pairs = [(i, i + 1) for i in range(n_kf - 1)] + list(extra)
+    ii, jj = [], []
+    for i, j in pairs:       # two-way (prep_two_way_edges)
+        ii += [i, j]
+        jj += [j, i]
+    E = len(ii)
+    ii = jnp.array(ii, dtype=jnp.int32)
+    jj = jnp.array(jj, dtype=jnp.int32)
+    idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (E, P))
+    valid = jnp.ones((E, P), dtype=bool)
+    Q = jnp.full((E, P), 4.0)
+    mask = jnp.ones((E,), dtype=jnp.float32)
+    return ii, jj, idx, valid, Q, mask
+
+
+def test_gn_rays_recovers_poses():
+    key = jax.random.PRNGKey(0)
+    n_kf, P = 5, 512
+    T_true, Xs = _make_world(key, n_kf, P)
+    Cs = jnp.full((n_kf, P), 5.0)
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=[(0, n_kf - 1)])
+
+    # perturb all but the pinned pose
+    noise = 0.05 * jax.random.normal(jax.random.fold_in(key, 7), (n_kf, 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+
+    cfg = ba.BAConfig(max_iters=20, point_chunk=256)
+    T_opt = ba.gauss_newton_rays(T_init, Xs, Cs, ii, jj, idx, valid, Q, mask,
+                                 jnp.asarray(n_kf), cfg)
+
+    err = jax.vmap(lambda a, b: sim3.log(sim3.mul(sim3.inv(a), b)))(T_true, T_opt)
+    max_err = float(jnp.abs(err).max())
+    assert max_err < 1e-3, np.asarray(err)
+
+
+def test_gn_rays_capacity_padding_invariance():
+    """Padded capacity slots must not change the solution."""
+    key = jax.random.PRNGKey(1)
+    n_kf, P = 4, 256
+    T_true, Xs = _make_world(key, n_kf, P)
+    Cs = jnp.full((n_kf, P), 5.0)
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P)
+
+    noise = 0.04 * jax.random.normal(jax.random.fold_in(key, 3), (n_kf, 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+
+    cfg = ba.BAConfig(max_iters=10, point_chunk=128)
+    T_small = ba.gauss_newton_rays(T_init, Xs, Cs, ii, jj, idx, valid, Q,
+                                   mask, jnp.asarray(n_kf), cfg)
+
+    # pad keyframes to 8, edges to 12
+    K_cap, E_cap = 8, 12
+    padK = lambda x: jnp.concatenate(
+        [x, jnp.zeros((K_cap - n_kf,) + x.shape[1:], x.dtype)]
+    )
+    T_init_p = jnp.concatenate(
+        [T_init, sim3.identity((K_cap - n_kf,))], axis=0
+    )
+    E = ii.shape[0]
+    padE = lambda x, fill=0: jnp.concatenate(
+        [x, jnp.full((E_cap - E,) + x.shape[1:], fill, x.dtype)]
+    )
+    T_big = ba.gauss_newton_rays(
+        T_init_p, padK(Xs), padK(Cs),
+        padE(ii), padE(jj), padE(idx), padE(valid, False), padE(Q),
+        padE(mask), jnp.asarray(n_kf), cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(T_big[:n_kf]), np.asarray(T_small), atol=1e-4
+    )
+
+
+def test_gn_calib_recovers_poses():
+    """Plane-raycast fixture: every keyframe's canonical points lie on its own
+    pixel rays (as after constrain_points_to_ray) and correspondences are the
+    true reprojections, so ground truth is the (near-)optimum."""
+    key = jax.random.PRNGKey(2)
+    n_kf = 4
+    h, w = 32, 48
+    P = h * w
+    K_mat = jnp.array([[60.0, 0.0, 24.0], [0.0, 60.0, 16.0], [0.0, 0.0, 1.0]])
+    uv = geometry.pixel_coords((h, w))
+    dirs_cam = geometry.backproject(uv, jnp.ones((P, 1)), K_mat)  # K^-1 [u,v,1]
+
+    # world sphere (center straight ahead): smooth non-planar depth, no
+    # plane-homography ambiguity in the pose system
+    center_w = jnp.array([0.0, 0.0, 5.0])
+    radius = 3.0
+
+    T_true = [sim3.identity()]
+    for i in range(1, n_kf):
+        xi = 0.03 * jax.random.normal(jax.random.fold_in(key, i), (7,))
+        T_true.append(sim3.mul(T_true[-1], sim3.exp(xi)))
+    T_true = jnp.stack(T_true)
+
+    def raycast(T):
+        t, q, s = sim3.parts(T)
+        dir_w = s * sim3.quat_act(q, dirs_cam)   # scaled rotation of dirs
+        oc = t - center_w
+        a = jnp.sum(dir_w * dir_w, axis=-1)
+        b = 2.0 * dir_w @ oc
+        c = jnp.dot(oc, oc) - radius ** 2
+        disc = jnp.maximum(b * b - 4 * a * c, 0.0)
+        s_hit = (-b - jnp.sqrt(disc)) / (2 * a)
+        X_w = t + s_hit[:, None] * dir_w
+        return X_w, sim3.act(sim3.inv(T), X_w)   # world pts, canonical pts
+
+    Xw_list, Xc_list = zip(*[raycast(T_true[k]) for k in range(n_kf)])
+    Xs = jnp.stack(Xc_list)
+    Cs = jnp.full((n_kf, P), 5.0)
+
+    # edges + true correspondences: point p of kf j -> nearest pixel in kf i
+    pairs = [(i, i + 1) for i in range(n_kf - 1)]
+    ii_l, jj_l, idx_l, val_l = [], [], [], []
+    for a, b in pairs:
+        for (i, j) in [(a, b), (b, a)]:
+            Xj_in_i = sim3.act(sim3.inv(T_true[i]), Xw_list[j])
+            pz, valid_p = geometry.project_calib(Xj_in_i, K_mat, (h, w))
+            u = jnp.clip(jnp.round(pz[:, 0]), 0, w - 1).astype(jnp.int32)
+            v = jnp.clip(jnp.round(pz[:, 1]), 0, h - 1).astype(jnp.int32)
+            ii_l.append(i)
+            jj_l.append(j)
+            idx_l.append(v * w + u)
+            val_l.append(valid_p[:, 0])
+    ii = jnp.array(ii_l, dtype=jnp.int32)
+    jj = jnp.array(jj_l, dtype=jnp.int32)
+    idx = jnp.stack(idx_l)
+    valid = jnp.stack(val_l)
+    E = ii.shape[0]
+    Q = jnp.full((E, P), 4.0)
+    mask = jnp.ones((E,), dtype=jnp.float32)
+
+    noise = 0.02 * jax.random.normal(jax.random.fold_in(key, 9), (n_kf, 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+
+    cfg = ba.BAConfig(max_iters=20, point_chunk=128)
+    T_opt = ba.gauss_newton_calib(T_init, Xs, Cs, K_mat, ii, jj, idx, valid,
+                                  Q, mask, jnp.asarray(n_kf), (h, w), cfg)
+
+    # the correspondence rounding (+-0.5 px) sets a nonzero cost floor and
+    # displaces the optimum slightly from ground truth: assert the solver
+    # (a) reaches that floor and (b) stays in the ground-truth basin
+    def cost_at(T):
+        total = 0.0
+        for e in range(E):
+            i, j = int(ii[e]), int(jj[e])
+            Tij = sim3.rel(T[i], T[j])
+            Xj_Ci = sim3.act(Tij, Xs[j])
+            pz, vp = geometry.project_calib(Xj_Ci, K_mat, (h, w),
+                                            border=cfg.pixel_border,
+                                            z_eps=cfg.depth_eps)
+            u_t = (idx[e] % w).astype(jnp.float32)
+            v_t = (idx[e] // w).astype(jnp.float32)
+            zi = Xs[i][idx[e], 2]
+            err_e = pz - jnp.stack(
+                [u_t, v_t, jnp.log(jnp.maximum(zi, 1e-9))], -1)
+            wm = (valid[e] & vp[:, 0]).astype(jnp.float32)
+            total += float(jnp.sum((err_e * wm[:, None]) ** 2))
+        return total
+
+    c_gt = cost_at(T_true)
+    c_init = cost_at(T_init)
+    c_opt = cost_at(T_opt)
+    assert c_opt <= 1.05 * c_gt, (c_gt, c_init, c_opt)
+    assert c_opt < 0.05 * c_init, (c_gt, c_init, c_opt)
+    err = jax.vmap(lambda a, b: sim3.log(sim3.mul(sim3.inv(a), b)))(T_true, T_opt)
+    assert float(jnp.abs(err).max()) < 0.15, np.asarray(err)

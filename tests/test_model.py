@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.models import TINY, init_params, mast3r
+
+
+def test_tiny_model_shapes_and_activations():
+    cfg = TINY
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h, w = cfg.img_size
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, h, w, 3))
+
+    feat, pos = mast3r.encode(params, img, cfg)
+    n = cfg.num_patches
+    assert feat.shape == (1, n, cfg.enc_embed_dim)
+    assert pos.shape == (1, n, 2)
+    # (y, x) positions in row-major patch order
+    nw = w // cfg.patch_size
+    assert int(pos[0, 1, 1]) == 1 and int(pos[0, nw, 0]) == 1
+
+    res1, res2 = mast3r.decode_pair(params, feat, pos, feat, pos, cfg)
+    for res in (res1, res2):
+        assert res["pts3d"].shape == (1, h, w, 3)
+        assert res["conf"].shape == (1, h, w)
+        assert res["desc"].shape == (1, h, w, cfg.desc_dim)
+        assert res["desc_conf"].shape == (1, h, w)
+        assert np.all(np.isfinite(np.asarray(res["pts3d"])))
+        # conf mode ('exp', 1, inf) -> conf > 1; desc_conf ('exp', 0, inf) > 0
+        assert float(res["conf"].min()) > 1.0
+        assert float(res["desc_conf"].min()) > 0.0
+        # descriptors are L2-normalized
+        norms = np.linalg.norm(np.asarray(res["desc"]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_symmetric_batches_both_directions():
+    cfg = TINY
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h, w = cfg.img_size
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (2, h, w, 3))
+    feat, pos = mast3r.encode(params, imgs, cfg)
+    fi, fj = feat[0:1], feat[1:2]
+    pi, pj = pos[0:1], pos[1:2]
+    out = mast3r.inference_symmetric(params, fi, pi, fj, pj, cfg)
+    # direction (i|j) head1 output must equal a direct decode_pair call
+    r1, r2 = mast3r.decode_pair(params, fi, pi, fj, pj, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["Xii"]), np.asarray(r1["pts3d"]), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["Xji"]), np.asarray(r2["pts3d"]), atol=2e-3
+    )
+    # and (j|i): head1 on j
+    r1b, r2b = mast3r.decode_pair(params, fj, pj, fi, pi, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["Xjj"]), np.asarray(r1b["pts3d"]), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["Xij"]), np.asarray(r2b["pts3d"]), atol=2e-3
+    )
+
+
+def test_mono_inference():
+    cfg = TINY
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h, w = cfg.img_size
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, h, w, 3))
+    feat, pos = mast3r.encode(params, img, cfg)
+    X, C = mast3r.inference_mono(params, feat, pos, cfg)
+    assert X.shape == (1, h * w, 3)
+    assert C.shape == (1, h * w, 1)

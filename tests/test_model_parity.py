@@ -1,0 +1,127 @@
+"""Numerical parity of the JAX MASt3R against the reference torch model.
+
+Builds a small randomly-initialized AsymmetricMASt3R with the *reference*
+code (mounted read-only at /root/reference), converts its state_dict with
+models/convert.py, and compares encoder/decoder/head outputs. This validates
+both the architecture re-implementation and the checkpoint converter, so
+loading the real released .pth is guaranteed to reproduce the reference
+network (SURVEY.md §4 test strategy).
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REF = pathlib.Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch = pytest.importorskip("torch")
+    for p in [REF / "thirdparty/mast3r", REF / "thirdparty/mast3r/dust3r",
+              REF / "thirdparty/mast3r/dust3r/croco"]:
+        sys.path.insert(0, str(p))
+    from mast3r.model import AsymmetricMASt3R  # noqa
+
+    torch.manual_seed(0)
+    model = AsymmetricMASt3R(
+        pos_embed="RoPE100",
+        patch_embed_cls="PatchEmbedDust3R",
+        img_size=(64, 96),
+        head_type="catmlp+dpt",
+        output_mode="pts3d+desc24",
+        depth_mode=("exp", -float("inf"), float("inf")),
+        conf_mode=("exp", 1, float("inf")),
+        desc_conf_mode=("exp", 0, float("inf")),
+        two_confs=True,
+        enc_embed_dim=128,
+        enc_depth=3,
+        enc_num_heads=4,
+        dec_embed_dim=96,
+        dec_depth=12,
+        dec_num_heads=4,
+        landscape_only=False,
+    )
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_setup(torch_model):
+    from mast3r_slam_tpu.models import MASt3RConfig, convert
+
+    cfg = MASt3RConfig(
+        img_size=(64, 96), enc_depth=3, enc_embed_dim=128, enc_num_heads=4,
+        dec_depth=12, dec_embed_dim=96, dec_num_heads=4, desc_dim=24,
+        dtype="float32",
+    )
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    params = convert.convert_state_dict(sd, cfg)
+    return cfg, params
+
+
+def _imgs(n=2):
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((n, 64, 96, 3)).astype(np.float32) * 0.5
+
+
+def test_encoder_parity(torch_model, jax_setup):
+    import torch
+
+    from mast3r_slam_tpu.models import mast3r
+
+    cfg, params = jax_setup
+    imgs = _imgs(2)
+    timg = torch.from_numpy(imgs).permute(0, 3, 1, 2)
+    shape = torch.tensor([[64, 96]] * 2, dtype=torch.int32)
+    with torch.no_grad():
+        tfeat, tpos, _ = torch_model._encode_image(timg, shape)
+
+    jfeat, jpos = mast3r.encode(params, imgs, cfg)
+    np.testing.assert_array_equal(np.asarray(jpos), tpos.numpy())
+    np.testing.assert_allclose(
+        np.asarray(jfeat), tfeat.numpy(), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_full_two_view_parity(torch_model, jax_setup):
+    import torch
+
+    from mast3r_slam_tpu.models import mast3r
+
+    cfg, params = jax_setup
+    imgs = _imgs(2)
+    timg = torch.from_numpy(imgs).permute(0, 3, 1, 2)
+    shape = torch.tensor([[64, 96]] * 2, dtype=torch.int32)
+    with torch.no_grad():
+        f1, p1, _ = torch_model._encode_image(timg[:1], shape[:1])
+        f2, p2, _ = torch_model._encode_image(timg[1:], shape[1:])
+        dec1, dec2 = torch_model._decoder(f1, p1, f2, p2)
+        res1 = torch_model._downstream_head(1, [t.float() for t in dec1], shape[:1])
+        res2 = torch_model._downstream_head(2, [t.float() for t in dec2], shape[1:])
+
+    jf, jp = mast3r.encode(params, imgs, cfg)
+    jres1, jres2 = mast3r.decode_pair(
+        params, jf[:1], jp[:1], jf[1:], jp[1:], cfg
+    )
+
+    for tres, jres in [(res1, jres1), (res2, jres2)]:
+        np.testing.assert_allclose(
+            np.asarray(jres["pts3d"]), tres["pts3d"].numpy(), atol=5e-3,
+            rtol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(jres["conf"]), tres["conf"].numpy(), atol=5e-3,
+            rtol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(jres["desc"]), tres["desc"].numpy(), atol=5e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(jres["desc_conf"]), tres["desc_conf"].numpy(),
+            atol=5e-3, rtol=1e-2,
+        )

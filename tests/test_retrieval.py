@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mast3r_slam_tpu.slam import retrieval
+
+
+def _db(use_native, nfeat=32, dim=64, n_words=128, seed=0):
+    key = jax.random.PRNGKey(seed)
+    rparams = retrieval.init_retrieval_params(
+        key, backbone_dim=dim, proj_dim=dim, codebook_size=n_words)
+    cfg = retrieval.RetrievalConfig(nfeat=nfeat)
+    return retrieval.RetrievalDatabase(rparams, cfg, use_native=use_native)
+
+
+def _frames(n, n_tokens=64, dim=64, seed=1):
+    key = jax.random.PRNGKey(seed)
+    # distinct base patterns + slightly perturbed revisits
+    base = jax.random.normal(key, (n, n_tokens, dim))
+    return base
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_retrieval_self_similarity(use_native):
+    db = _db(use_native)
+    if use_native and db.native is None:
+        pytest.skip("native lib not built")
+    frames = _frames(6)
+    for i in range(6):
+        inds = db.update(frames[i], add_after_query=True, k=3, min_thresh=0.0)
+    # query a near-duplicate of frame 2 (small noise)
+    noisy = frames[2] + 0.01 * jax.random.normal(jax.random.PRNGKey(9),
+                                                 frames[2].shape)
+    inds = db.update(noisy, add_after_query=False, k=3, min_thresh=0.0)
+    assert len(inds) > 0
+    assert inds[0] == 2, inds
+
+
+def test_native_matches_numpy():
+    db_np = _db(False)
+    db_nat = _db(True)
+    if db_nat.native is None:
+        pytest.skip("native lib not built")
+    frames = _frames(5, seed=3)
+    for i in range(5):
+        a = db_np.update(frames[i], add_after_query=True, k=3, min_thresh=0.0)
+        b = db_nat.update(frames[i], add_after_query=True, k=3, min_thresh=0.0)
+        assert a == b, (i, a, b)
+
+
+def test_native_hamming_matches_numpy():
+    from mast3r_slam_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(0)
+    des = rng.standard_normal((16, 96)).astype(np.float32)
+    packed64 = native.binarize_pack64(des)
+    # reference via numpy packbits
+    packed8 = retrieval.binarize_pack(des)
+    nh_np = retrieval.hamming_cdist_packed(packed8, packed8, 96)
+
+    import ctypes
+
+    lib = native.load()
+    out = np.zeros((16, 16), dtype=np.float32)
+    lib.asmk_hamming_cdist(
+        packed64.ctypes.data_as(ctypes.c_void_p), 16,
+        packed64.ctypes.data_as(ctypes.c_void_p), 16, 96,
+        out.ctypes.data_as(ctypes.c_void_p))
+    np.testing.assert_allclose(out, nh_np, atol=1e-6)

@@ -1,0 +1,112 @@
+"""End-to-end pipeline test on CPU with the TINY model and synthetic frames.
+
+Exercises the full mode machine (INIT -> TRACKING, keyframing, backend
+global optimization, retrieval insertion, export) without real weights —
+validating pipeline mechanics, not trajectory accuracy (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mast3r_slam_tpu import config as config_mod
+from mast3r_slam_tpu.models import TINY, init_params
+from mast3r_slam_tpu.slam import retrieval as retrieval_mod
+from mast3r_slam_tpu.slam.frame import Mode
+from mast3r_slam_tpu.slam.system import SLAMSystem
+
+
+class _SynthDataset:
+    """Drifting textured pattern at the TINY model's resolution."""
+
+    def __init__(self, n=6, h=64, w=96):
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((h + 32, w + 32, 3)).astype(np.float32)
+        # smooth it for more coherent "images"
+        k = np.ones((5, 5)) / 25.0
+        for c in range(3):
+            from scipy.signal import convolve2d
+
+            base[..., c] = convolve2d(base[..., c], k, mode="same")
+        self.frames = []
+        for i in range(n):
+            crop = base[i * 2:i * 2 + h, i * 3:i * 3 + w]
+            self.frames.append(np.ascontiguousarray(crop))
+        self.timestamps = [float(i) for i in range(n)]
+        self.img_size = 512
+        self.save_results = True
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __getitem__(self, i):
+        return self.timestamps[i], self.frames[i]
+
+
+@pytest.fixture(scope="module")
+def tiny_system():
+    cfg = dict(config_mod.default_config())
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    rparams = retrieval_mod.init_retrieval_params(
+        jax.random.PRNGKey(1), backbone_dim=TINY.enc_embed_dim,
+        proj_dim=64, codebook_size=256)
+    h, w = TINY.img_size
+    system = SLAMSystem(params, TINY, cfg, (h, w), retrieval_params=rparams,
+                        keyframe_capacity=8, edge_capacity=16)
+    return system
+
+
+def test_pipeline_runs_and_exports(tmp_path, tiny_system):
+    system = tiny_system
+    ds = _SynthDataset(n=5)
+    h, w = TINY.img_size
+    for i in range(len(ds)):
+        _, img = ds[i]
+        frame = system.make_frame(i, (img - img.mean()) / (img.std() + 1e-6))
+        system.process_frame(frame)
+        while system.backend_step():
+            pass
+
+    assert system.mode in (Mode.TRACKING, Mode.RELOC)
+    assert len(system.keyframes) >= 1
+    assert system.stats["keyframes"] >= 1
+    # all stored poses finite
+    T = np.asarray(system.keyframes.T_WC[: len(system.keyframes)])
+    assert np.all(np.isfinite(T))
+
+    # export round trip
+    from mast3r_slam_tpu.io import export
+
+    traj = export.save_traj(tmp_path, "seq.txt", ds.timestamps,
+                            system.keyframes)
+    lines = traj.read_text().strip().splitlines()
+    assert len(lines) == len(system.keyframes)
+    assert len(lines[0].split()) == 8
+
+    ply = export.save_reconstruction(tmp_path, "seq.ply", system.keyframes,
+                                     c_conf_threshold=0.0)
+    assert ply.exists() and ply.stat().st_size > 100
+
+
+def test_checkpointable_state(tiny_system):
+    """SLAM runtime state is a plain pytree -> trivially checkpointable
+    (SURVEY.md §5.4: the reference cannot resume mid-run; we can)."""
+    kf = tiny_system.keyframes
+    state = {
+        "T_WC": kf.T_WC, "X": kf.X, "C": kf.C, "N": kf.N,
+        "feat": kf.feat, "pos": kf.pos,
+        "edges": {
+            "ii": tiny_system.factor_graph.ii,
+            "jj": tiny_system.factor_graph.jj,
+            "idx": tiny_system.factor_graph.idx_ii2jj,
+            "valid": tiny_system.factor_graph.valid_match,
+            "Q": tiny_system.factor_graph.Q,
+        },
+    }
+    flat, treedef = jax.tree_util.tree_flatten(state)
+    assert all(hasattr(x, "shape") for x in flat)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, flat)
+    np.testing.assert_array_equal(np.asarray(rebuilt["T_WC"]),
+                                  np.asarray(kf.T_WC))
