@@ -1,0 +1,110 @@
+"""Absolute trajectory error (ATE RMSE) with Sim(3) alignment.
+
+Self-contained replacement for the reference's external evaluation command
+``evo_ape tum <gt> <traj> -as`` (scripts/eval_tum.sh:44-49): TUM-format
+trajectory loading, timestamp association, Umeyama similarity alignment and
+translational RMSE. Pure numpy (evaluation is host-side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_tum_trajectory(path):
+    """Load TUM format `t x y z qx qy qz qw` -> (stamps (n,), t (n,3),
+    q (n,4))."""
+    data = np.loadtxt(path, dtype=np.float64, comments="#")
+    data = np.atleast_2d(data)
+    return data[:, 0], data[:, 1:4], data[:, 4:8]
+
+
+def associate(stamps_a, stamps_b, max_diff: float = 0.02):
+    """Greedy nearest-timestamp association (evo/TUM tooling semantics).
+
+    Returns index arrays (ia, ib).
+    """
+    ia, ib = [], []
+    j = 0
+    order = np.argsort(stamps_b)
+    sb = stamps_b[order]
+    for i, t in enumerate(stamps_a):
+        j = np.searchsorted(sb, t)
+        best, bestd = -1, max_diff
+        for k in (j - 1, j):
+            if 0 <= k < len(sb):
+                d = abs(sb[k] - t)
+                if d <= bestd:
+                    best, bestd = k, d
+        if best >= 0:
+            ia.append(i)
+            ib.append(order[best])
+    return np.asarray(ia, dtype=np.int64), np.asarray(ib, dtype=np.int64)
+
+
+def umeyama_alignment(x, y, with_scale: bool = True):
+    """Least-squares similarity transform aligning x -> y.
+
+    x, y: (n, 3). Returns (scale s, rotation R (3,3), translation t (3,))
+    with y ~ s R x + t (Umeyama 1991).
+    """
+    mx = x.mean(axis=0)
+    my = y.mean(axis=0)
+    xc = x - mx
+    yc = y - my
+    cov = yc.T @ xc / len(x)
+    U, d, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    if with_scale:
+        var_x = (xc ** 2).sum() / len(x)
+        s = float(np.trace(np.diag(d) @ S) / var_x)
+    else:
+        s = 1.0
+    t = my - s * R @ mx
+    return s, R, t
+
+
+def ate_rmse(gt_file, traj_file, max_diff: float = 0.02,
+             with_scale: bool = True):
+    """Sim3-aligned ATE RMSE between a ground-truth and estimated TUM
+    trajectory. Returns dict(rmse, mean, median, n_pairs, scale)."""
+    ts_gt, t_gt, _ = load_tum_trajectory(gt_file)
+    ts_est, t_est, _ = load_tum_trajectory(traj_file)
+    ia, ib = associate(ts_gt, ts_est, max_diff)
+    if len(ia) < 3:
+        raise ValueError(f"only {len(ia)} associated poses")
+    x = t_est[ib]
+    y = t_gt[ia]
+    s, R, t = umeyama_alignment(x, y, with_scale)
+    aligned = (s * (R @ x.T)).T + t
+    err = np.linalg.norm(aligned - y, axis=1)
+    return {
+        "rmse": float(np.sqrt(np.mean(err ** 2))),
+        "mean": float(err.mean()),
+        "median": float(np.median(err)),
+        "n_pairs": int(len(ia)),
+        "scale": s,
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Sim3-aligned ATE RMSE")
+    p.add_argument("gt")
+    p.add_argument("traj")
+    p.add_argument("--max-diff", type=float, default=0.02)
+    p.add_argument("--no-scale", action="store_true")
+    args = p.parse_args(argv)
+    res = ate_rmse(args.gt, args.traj, args.max_diff,
+                   with_scale=not args.no_scale)
+    print(f"ATE RMSE: {res['rmse']:.6f} m  (mean {res['mean']:.6f}, "
+          f"median {res['median']:.6f}, pairs {res['n_pairs']}, "
+          f"scale {res['scale']:.4f})")
+
+
+if __name__ == "__main__":
+    main()

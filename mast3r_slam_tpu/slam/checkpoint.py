@@ -1,0 +1,85 @@
+"""Mid-run SLAM state checkpoint / resume.
+
+The reference cannot resume a run (SURVEY.md §5.4 — weights-only loading,
+results written once at termination). Here the entire runtime state —
+keyframe store, factor-graph edges, retrieval inverted file, mode/counters —
+is a flat pytree of arrays, so checkpointing is a single compressed npz and
+resume is exact.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+
+def save_state(path, system):
+    """Serialize a SLAMSystem's runtime state (not the model weights)."""
+    kf = system.keyframes
+    fg = system.factor_graph
+    arrays = {
+        "kf_n_size": np.asarray(kf.n_size),
+        "kf_dataset_idx": np.asarray(kf.dataset_idx),
+        "kf_T_WC": np.asarray(kf.T_WC),
+        "kf_X": np.asarray(kf.X),
+        "kf_C": np.asarray(kf.C),
+        "kf_N": np.asarray(kf.N),
+        "kf_feat": np.asarray(kf.feat.astype(np.float32)
+                              if kf.feat.dtype != np.float32 else kf.feat),
+        "kf_pos": np.asarray(kf.pos),
+        "kf_uimg": np.asarray(kf.uimg[: kf.n_size]),
+        "fg_n_edges": np.asarray(fg.n_edges),
+        "fg_ii": np.asarray(fg.ii),
+        "fg_jj": np.asarray(fg.jj),
+        "fg_idx": np.asarray(fg.idx_ii2jj),
+        "fg_valid": np.asarray(fg.valid_match),
+        "fg_Q": np.asarray(fg.Q),
+        "mode": np.asarray(system.mode.value),
+        "backend_queue": np.asarray(system.backend_queue, dtype=np.int64),
+    }
+    if system.retrieval is not None:
+        arrays["retrieval_kf_counter"] = np.asarray(
+            system.retrieval.kf_counter)
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **arrays)
+    return path
+
+
+def load_state(path, system):
+    """Restore a SLAMSystem's runtime state in place."""
+    import jax.numpy as jnp
+
+    from .frame import Mode
+
+    data = np.load(path, allow_pickle=False)
+    kf = system.keyframes
+    fg = system.factor_graph
+    kf.n_size = int(data["kf_n_size"])
+    kf.dataset_idx = jnp.asarray(data["kf_dataset_idx"])
+    kf.T_WC = jnp.asarray(data["kf_T_WC"])
+    kf.X = jnp.asarray(data["kf_X"])
+    kf.C = jnp.asarray(data["kf_C"])
+    kf.N = jnp.asarray(data["kf_N"])
+    kf.feat = jnp.asarray(data["kf_feat"]).astype(kf.feat.dtype)
+    kf.pos = jnp.asarray(data["kf_pos"])
+    kf.uimg[: kf.n_size] = data["kf_uimg"]
+    fg.n_edges = int(data["fg_n_edges"])
+    fg.ii = jnp.asarray(data["fg_ii"])
+    fg.jj = jnp.asarray(data["fg_jj"])
+    fg.idx_ii2jj = jnp.asarray(data["fg_idx"])
+    fg.valid_match = jnp.asarray(data["fg_valid"])
+    fg.Q = jnp.asarray(data["fg_Q"])
+    system.mode = Mode(int(data["mode"]))
+    system.backend_queue = [int(x) for x in data["backend_queue"]]
+    if system.retrieval is not None and "retrieval_kf_counter" in data:
+        # rebuild the IVF from stored keyframe features (deterministic)
+        system.retrieval.kf_counter = 0
+        n = int(data["retrieval_kf_counter"])
+        for i in range(min(n, kf.n_size)):
+            system.retrieval.update(kf.get_frame(i).feat,
+                                    add_after_query=False, k=1)
+            system.retrieval.update(kf.get_frame(i).feat,
+                                    add_after_query=True, k=1)
+    return system

@@ -106,7 +106,8 @@ def _set_row(buf, i, row):
     return buf.at[i].set(row)
 
 
-_set_row_jit = jax.jit(_set_row, donate_argnums=(0,))
+_set_row_donate = jax.jit(_set_row, donate_argnums=(0,))
+_set_row_copy = jax.jit(_set_row)
 
 
 class KeyframeStore:
@@ -119,9 +120,13 @@ class KeyframeStore:
 
     def __init__(self, capacity: int, num_points: int, num_patches: int,
                  feat_dim: int, img_shape, dtype=jnp.float32,
-                 feat_dtype=jnp.bfloat16):
+                 feat_dtype=jnp.bfloat16, donate: bool = True):
         import numpy as _np
 
+        # donated in-place row writes are only safe single-threaded; the
+        # concurrent frontend/backend mode keeps old buffers valid for
+        # in-flight consumers (cf. the reference's RLock'd shared tensors)
+        self._set_row = _set_row_donate if donate else _set_row_copy
         h, w = img_shape
         self.capacity = capacity
         self.h, self.w = h, w
@@ -152,15 +157,15 @@ class KeyframeStore:
 
     def set_frame(self, idx: int, frame: Frame):
         self.n_size = max(self.n_size, idx + 1)
-        self.dataset_idx = _set_row_jit(self.dataset_idx, idx,
-                                        jnp.asarray(frame.frame_id, jnp.int32))
-        self.T_WC = _set_row_jit(self.T_WC, idx, frame.T_WC)
-        self.X = _set_row_jit(self.X, idx, frame.X_canon)
-        self.C = _set_row_jit(self.C, idx, frame.C[..., 0])
-        self.N = _set_row_jit(self.N, idx, jnp.asarray(frame.N, jnp.int32))
-        self.feat = _set_row_jit(self.feat, idx,
-                                 frame.feat.astype(self.feat.dtype))
-        self.pos = _set_row_jit(self.pos, idx, frame.pos)
+        sr = self._set_row
+        self.dataset_idx = sr(self.dataset_idx, idx,
+                              jnp.asarray(frame.frame_id, jnp.int32))
+        self.T_WC = sr(self.T_WC, idx, frame.T_WC)
+        self.X = sr(self.X, idx, frame.X_canon)
+        self.C = sr(self.C, idx, frame.C[..., 0])
+        self.N = sr(self.N, idx, jnp.asarray(frame.N, jnp.int32))
+        self.feat = sr(self.feat, idx, frame.feat.astype(self.feat.dtype))
+        self.pos = sr(self.pos, idx, frame.pos)
         if frame.uimg is not None:
             import numpy as _np
 

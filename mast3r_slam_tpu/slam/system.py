@@ -203,10 +203,12 @@ class SLAMSystem:
         self.use_calib = bool(config.get("use_calib", False))
         self.K = K
 
+        self.single_thread = bool(config.get("single_thread", True))
         num_points = h * w
         num_patches = model_cfg.num_patches
         self.keyframes = KeyframeStore(
-            kf_cap, num_points, num_patches, model_cfg.enc_embed_dim, (h, w))
+            kf_cap, num_points, num_patches, model_cfg.enc_embed_dim, (h, w),
+            donate=self.single_thread)
         self.keyframes.K = K
 
         tcfg = config_mod.make_tracker_config(config)
@@ -226,6 +228,9 @@ class SLAMSystem:
         )
         self.mode = Mode.INIT
         self.backend_queue: list = []
+        import threading
+
+        self.state_lock = threading.Lock()
         self.reloc_pending = False
         self.current_frame: Optional[Frame] = None
         self.stats = {"skipped": 0, "keyframes": 0, "loop_closures": 0,
@@ -375,22 +380,56 @@ class SLAMSystem:
     # -- main loop -----------------------------------------------------------
 
     def run(self, dataset, max_frames=None, progress=False):
-        """Synchronous (single_thread) end-to-end loop over a dataset."""
+        """End-to-end loop over a dataset.
+
+        ``single_thread: True`` (eval default) drains the backend after every
+        frame for deterministic results (spec: main.py:291-308 spin-waits);
+        otherwise the backend runs in a host thread concurrently with
+        frontend tracking (the reference's process parallelism, main.py:228).
+        """
         from ..io.image import resize_img
 
         n = len(dataset) if max_frames is None else min(max_frames,
                                                         len(dataset))
         import time
+
+        backend_thread = None
+        if not self.single_thread:
+            import threading
+
+            def backend_loop():
+                while self.mode != Mode.TERMINATED:
+                    with self.state_lock:
+                        did = self.backend_step()
+                    if not did:
+                        time.sleep(0.005)
+
+            backend_thread = threading.Thread(target=backend_loop,
+                                              daemon=True)
+            backend_thread.start()
+
         t0 = time.time()
         for i in range(n):
             _, img = dataset[i]
             res = resize_img(img, dataset.img_size)
             frame = self.make_frame(i, res["img"])
-            self.process_frame(frame)
-            # single-thread semantics: drain backend after every frame
-            while self.backend_step():
-                pass
+            if self.single_thread:
+                self.process_frame(frame)
+                while self.backend_step():
+                    pass
+            else:
+                with self.state_lock:
+                    self.process_frame(frame)
             if progress and i % 30 == 0 and i > 0:
                 print(f"FPS: {i / (time.time() - t0):.2f}")
+        # drain
+        while self.backend_queue or self.reloc_pending:
+            if self.single_thread:
+                if not self.backend_step():
+                    break
+            else:
+                time.sleep(0.01)
         self.mode = Mode.TERMINATED
+        if backend_thread is not None:
+            backend_thread.join(timeout=10.0)
         return self.stats
