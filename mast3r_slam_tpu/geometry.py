@@ -111,6 +111,53 @@ def pixel_coords(img_size, dtype=jnp.float32):
     return jnp.stack([u, v], axis=-1).reshape(h * w, 2)
 
 
+def ray_dist_pose_jacobian(Y):
+    """Closed-form d[ray, dist]/d(left Sim3 perturbation) at transformed
+    points Y: (..., 4, 7), fusing point_to_ray_dist's Jacobian with
+    act_Sim3's [I, -skew(Y), Y] analytically (the structure the CUDA kernel
+    hand-codes, gn_kernels.cu:972-1085):
+
+        ray rows:  [ (I - r r^T)/d | -skew(r) | 0 ]
+        dist row:  [      r^T      |    0     | d ]
+    """
+    d = jnp.linalg.norm(Y, axis=-1, keepdims=True)
+    d_inv = 1.0 / d
+    r = Y * d_inv
+    I = jnp.eye(3, dtype=Y.dtype)
+    dr_dP = d_inv[..., None] * (I - r[..., :, None] * r[..., None, :])
+    ray_rows = jnp.concatenate(
+        [dr_dP, -sim3.skew(r), jnp.zeros_like(r)[..., :, None]], axis=-1
+    )
+    zeros3 = jnp.zeros_like(r)
+    dist_row = jnp.concatenate([r, zeros3, d], axis=-1)[..., None, :]
+    return jnp.concatenate([ray_rows, dist_row], axis=-2)
+
+
+def calib_pose_jacobian(P, K, z_eps: float = 0.0):
+    """Closed-form d[u, v, log z]/d(left Sim3 perturbation) at camera points
+    P: (..., 3, 7). Matches calib_proj_kernel's hand-coded rows
+    (gn_kernels.cu:1420-1470); invalid depths produce zero rows.
+    """
+    fx, fy, cx, cy = decompose_K(K)
+    x = P[..., 0]
+    y = P[..., 1]
+    z = P[..., 2]
+    valid = z > z_eps
+    zi = jnp.where(valid, 1.0 / jnp.where(valid, z, 1.0), 0.0)
+    xz = x * zi
+    yz = y * zi
+    zero = jnp.zeros_like(zi)
+    one = jnp.where(valid, jnp.ones_like(zi), 0.0)
+    row_u = jnp.stack([fx * zi, zero, -fx * xz * zi,
+                       -fx * xz * yz, fx * (one + xz * xz), -fx * yz,
+                       zero], axis=-1)
+    row_v = jnp.stack([zero, fy * zi, -fy * yz * zi,
+                       -fy * (one + yz * yz), fy * xz * yz, fy * xz,
+                       zero], axis=-1)
+    row_z = jnp.stack([zero, zero, zi, yz, -xz, zero, one], axis=-1)
+    return jnp.stack([row_u, row_v, row_z], axis=-2)
+
+
 def constrain_points_to_ray(img_size, Xs, K):
     """Replace x,y with the calibrated ray through each pixel, keeping z.
 

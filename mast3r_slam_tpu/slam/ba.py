@@ -104,11 +104,11 @@ def _edge_terms_rays(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
         Xi_c, Ci_c = _gather_points(Xs, Cs, ii, safe_idx)
 
         rd_i = geometry.point_to_ray_dist(Xi_c)                 # (E, C, 4)
-        Xj_Ci, dX_dT = geometry.act_Sim3(Tij[:, None, :], Xj_c, jacobian=True)
-        rd_j, drd_dX = geometry.point_to_ray_dist(Xj_Ci, jacobian=True)
+        Xj_Ci = geometry.act_Sim3(Tij[:, None, :], Xj_c)
+        rd_j = geometry.point_to_ray_dist(Xj_Ci)
 
         err = rd_j - rd_i                                        # (E, C, 4)
-        J_theta = jnp.einsum("ecrk,eckm->ecrm", drd_dX, dX_dT)   # (E, C, 4, 7)
+        J_theta = geometry.ray_dist_pose_jacobian(Xj_Ci)         # (E, C, 4, 7)
         # row-covector adjoint: d err / d xi_j; d err / d xi_i = -Jj
         Jj = sim3.apply_adj_inv_T(Ti[:, None, None, :], J_theta)
         J = jnp.concatenate([-Jj, Jj], axis=-1)                  # (E, C, 4, 14)
@@ -189,9 +189,9 @@ def _edge_terms_calib(T_WCs, Xs, Cs, K_mat, ii, jj, idx, valid_match, Q,
         u_t = (safe_idx % w).astype(Xj_c.dtype)
         v_t = (safe_idx // w).astype(Xj_c.dtype)
 
-        Xj_Ci, dX_dT = geometry.act_Sim3(Tij[:, None, :], Xj_c, jacobian=True)
-        pz, dpz_dX, valid_proj = geometry.project_calib(
-            Xj_Ci, K_mat, img_size, jacobian=True, border=cfg.pixel_border,
+        Xj_Ci = geometry.act_Sim3(Tij[:, None, :], Xj_c)
+        pz, valid_proj = geometry.project_calib(
+            Xj_Ci, K_mat, img_size, border=cfg.pixel_border,
             z_eps=cfg.depth_eps,
         )
         zi = Xi_c[..., 2]
@@ -199,7 +199,8 @@ def _edge_terms_calib(T_WCs, Xs, Cs, K_mat, ii, jj, idx, valid_match, Q,
         log_zi = jnp.where(valid_zi, jnp.log(jnp.where(valid_zi, zi, 1.0)), 0.0)
 
         err = pz - jnp.stack([u_t, v_t, log_zi], axis=-1)        # (E, C, 3)
-        J_theta = jnp.einsum("ecrk,eckm->ecrm", dpz_dX, dX_dT)
+        J_theta = geometry.calib_pose_jacobian(Xj_Ci, K_mat,
+                                               z_eps=cfg.depth_eps)
         Jj = sim3.apply_adj_inv_T(Ti[:, None, None, :], J_theta)
         J = jnp.concatenate([-Jj, Jj], axis=-1)                  # (E, C, 3, 14)
 

@@ -120,10 +120,10 @@ def opt_pose_ray_dist_sim3(Xf, Xk, T_CkCf_init, Qk, valid, cfg: TrackerConfig):
     rd_k = geometry.point_to_ray_dist(Xk)
 
     def residual(T):
-        Xf_Ck, dX_dT = geometry.act_Sim3(T, Xf, jacobian=True)
-        rd_f, drd_dX = geometry.point_to_ray_dist(Xf_Ck, jacobian=True)
+        Xf_Ck = geometry.act_Sim3(T, Xf)
+        rd_f = geometry.point_to_ray_dist(Xf_Ck)
         r = rd_k - rd_f
-        J = -jnp.einsum("nrk,nkm->nrm", drd_dX, dX_dT)
+        J = -geometry.ray_dist_pose_jacobian(Xf_Ck)
         return sqrt_info, r, J
 
     return _run_gn(residual, T_CkCf_init, cfg)
@@ -140,14 +140,13 @@ def opt_pose_calib_sim3(Xf, Xk, T_CkCf_init, Qk, valid, meas_k, valid_meas_k,
     )
 
     def residual(T):
-        Xf_Ck, dX_dT = geometry.act_Sim3(T, Xf, jacobian=True)
-        pz, dpz_dX, valid_proj = geometry.project_calib(
-            Xf_Ck, K, img_size, jacobian=True, border=cfg.pixel_border,
-            z_eps=cfg.depth_eps,
+        Xf_Ck = geometry.act_Sim3(T, Xf)
+        pz, valid_proj = geometry.project_calib(
+            Xf_Ck, K, img_size, border=cfg.pixel_border, z_eps=cfg.depth_eps,
         )
         w = (valid_proj & valid_meas_k) * sqrt_info
         r = meas_k - pz
-        J = -jnp.einsum("nrk,nkm->nrm", dpz_dX, dX_dT)
+        J = -geometry.calib_pose_jacobian(Xf_Ck, K, z_eps=cfg.depth_eps)
         return w, r, J
 
     return _run_gn(residual, T_CkCf_init, cfg)

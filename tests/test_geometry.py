@@ -79,3 +79,29 @@ def test_constrain_points_to_ray():
     pz, _ = geometry.project_calib(Xc, K, img_size, border=-10000)
     uv = geometry.pixel_coords(img_size)
     np.testing.assert_allclose(np.asarray(pz[:, :2]), np.asarray(uv), atol=1e-3)
+
+
+def test_closed_form_pose_jacobians_match_composed():
+    """ray_dist_pose_jacobian / calib_pose_jacobian == J_h = f'(P) @ dP/dxi
+    (the composed form used as spec)."""
+    key = jax.random.PRNGKey(7)
+    T = sim3.exp(0.3 * jax.random.normal(key, (7,)))
+    X = jax.random.normal(jax.random.fold_in(key, 1), (32, 3)) + jnp.array(
+        [0.0, 0.0, 3.0])
+    Y, dX_dT = geometry.act_Sim3(T, X, jacobian=True)
+
+    _, drd_dX = geometry.point_to_ray_dist(Y, jacobian=True)
+    J_composed = jnp.einsum("nrk,nkm->nrm", drd_dX, dX_dT)
+    J_closed = geometry.ray_dist_pose_jacobian(Y)
+    # the composed form carries fp32 roundoff in the analytically-zero
+    # scale column; the closed form is exact there
+    np.testing.assert_allclose(np.asarray(J_closed), np.asarray(J_composed),
+                               atol=3e-4)
+
+    K = jnp.array([[300.0, 0.0, 256.0], [0.0, 280.0, 192.0], [0.0, 0.0, 1.0]])
+    _, dpz_dX, _ = geometry.project_calib(Y, K, (384, 512), jacobian=True)
+    Jc_composed = jnp.einsum("nrk,nkm->nrm", dpz_dX, dX_dT)
+    Jc_closed = geometry.calib_pose_jacobian(Y, K)
+    d = np.abs(np.asarray(Jc_closed) - np.asarray(Jc_composed))
+    rel = d / (np.abs(np.asarray(Jc_composed)) + 1.0)
+    assert rel.max() < 5e-4, rel.max()
