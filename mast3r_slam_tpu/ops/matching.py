@@ -214,7 +214,10 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
     valid = valid_proj & (dists < dist_thresh)
 
     if radius > 0:
-        p1i = refine_matches(D11, D21.reshape(b, n, -1), p1i, radius,
-                             dilation_max)
+        # half precision for the window search (reference uses fp16,
+        # matching.py:80-86); halves the gather traffic
+        p1i = refine_matches(D11.astype(jnp.bfloat16),
+                             D21.reshape(b, n, -1).astype(jnp.bfloat16),
+                             p1i, radius, dilation_max)
 
     return pixel_to_lin(p1i, w), valid[..., None]

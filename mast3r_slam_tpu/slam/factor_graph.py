@@ -104,8 +104,8 @@ class FactorGraph:
             return False
         ii_arr = np.asarray(ii, dtype=np.int32)
         jj_arr = np.asarray(jj, dtype=np.int32)
-        feat_i = self.frames.feat[ii_arr].astype(jnp.float32)
-        feat_j = self.frames.feat[jj_arr].astype(jnp.float32)
+        feat_i = self.frames.feat[ii_arr]
+        feat_j = self.frames.feat[jj_arr]
         pos_i = self.frames.pos[ii_arr]
         pos_j = self.frames.pos[jj_arr]
 

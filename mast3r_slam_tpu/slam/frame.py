@@ -179,7 +179,7 @@ class KeyframeStore:
             T_WC=self.T_WC[idx],
             X_canon=self.X[idx],
             C=self.C[idx][..., None],
-            feat=self.feat[idx].astype(jnp.float32),
+            feat=self.feat[idx],
             pos=self.pos[idx],
             N=int(self.N[idx]),
             K=self.K,

@@ -51,6 +51,35 @@ def _track_match(params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init):
             flat(Xkf), flat(C[1:2]), flat(Q[1:2]))
 
 
+@jax.jit
+def _track_gate(idx_f2k, valid_match_k, Qff, Qkf, Cf_avg, Ck_avg, C_conf,
+                Q_conf):
+    """Confidence gating + keyframe-decision statistics, fused on device.
+
+    Returns (Qk (n,1), valid_opt (n,1), stats (3,)) where stats =
+    [match_frac, match_frac_k, unique_frac] — one scalar transfer per frame
+    instead of several eager reductions (tracker.py:59-110 semantics; the
+    unique count is a scatter of ones instead of host-side np.unique).
+    """
+    n = idx_f2k.shape[0]
+    Qk = jnp.sqrt(Qff[idx_f2k, 0:1] * Qkf)
+    valid_opt = (
+        valid_match_k
+        & (Cf_avg[idx_f2k] > C_conf)
+        & (Ck_avg > C_conf)
+        & (Qk > Q_conf)
+    )
+    valid_kf = valid_match_k & (Qk > Q_conf)
+    match_frac = valid_opt.mean()
+    match_frac_k = valid_kf.mean()
+    hit = jnp.zeros((n,), jnp.float32).at[
+        jnp.where(valid_match_k[:, 0], idx_f2k, n)
+    ].max(1.0, mode="drop")
+    unique_frac = hit.sum() / n
+    stats = jnp.stack([match_frac, match_frac_k, unique_frac])
+    return Qk, valid_opt, stats
+
+
 class TrackerRunner:
     """Frame-to-keyframe tracking driver (spec: FrameTracker, tracker.py)."""
 
@@ -87,22 +116,13 @@ class TrackerRunner:
         )
         self.idx_f2k = idx_f2k
 
-        Qk = jnp.sqrt(Qff[idx_f2k, 0:1] * Qkf)
-
         frame.update_pointmap(Xff, Cff, self.filtering_mode)
 
-        Cf_avg = frame.get_average_conf()
-        Ck_avg = kf.get_average_conf()
+        Qk, valid_opt, stats = _track_gate(
+            idx_f2k, valid_match_k, Qff, Qkf, frame.get_average_conf(),
+            kf.get_average_conf(), tcfg.C_conf, tcfg.Q_conf)
+        match_frac, match_frac_k, unique_frac = np.asarray(stats)
 
-        valid_opt = (
-            valid_match_k
-            & (Cf_avg[idx_f2k] > tcfg.C_conf)
-            & (Ck_avg > tcfg.C_conf)
-            & (Qk > tcfg.Q_conf)
-        )
-        valid_kf = valid_match_k & (Qk > tcfg.Q_conf)
-
-        match_frac = float(valid_opt.mean())
         if match_frac < tcfg.min_match_frac:
             print(f"Skipped frame {frame.frame_id}")
             return False, True
@@ -116,13 +136,7 @@ class TrackerRunner:
             Xf = geometry.constrain_points_to_ray(img_size, Xf, self.K)
             Xk = geometry.constrain_points_to_ray(img_size, Xk, self.K)
 
-        T_CkCf_init = jnp.asarray(
-            np.asarray(
-                jnp.reshape(
-                    _rel_pose(kf.T_WC, frame.T_WC), (8,)
-                )
-            )
-        )
+        T_CkCf_init = _rel_pose(kf.T_WC, frame.T_WC)
 
         if not self.use_calib:
             res = tracker_mod.opt_pose_ray_dist_sim3(
@@ -147,11 +161,7 @@ class TrackerRunner:
         self.keyframes.set_frame(len(self.keyframes) - 1, kf)
 
         # keyframe decision (tracker.py:104-110)
-        match_frac_k = float(valid_kf.mean())
-        n = valid_kf.shape[0]
-        uniq = np.unique(np.asarray(idx_f2k)[np.asarray(valid_match_k)[:, 0]])
-        unique_frac_f = uniq.shape[0] / n
-        new_kf = min(match_frac_k, unique_frac_f) < tcfg.match_frac_thresh
+        new_kf = min(match_frac_k, unique_frac) < tcfg.match_frac_thresh
         if new_kf:
             self.reset_idx()
         return new_kf, False
