@@ -250,16 +250,24 @@ def decode_pair(params, feat1, pos1, feat2, pos2, cfg: MASt3RConfig):
     return res1, res2
 
 
-def inference_mono(params, feat, pos, cfg: MASt3RConfig):
+def downsample_maps(*maps, ds: int = 1):
+    """Spatially subsample (b, h, w, ...) prediction maps by stride ``ds``
+    (spec: mast3r_utils.downsample, :43-52)."""
+    if ds <= 1:
+        return maps
+    return tuple(m[:, ::ds, ::ds] for m in maps)
+
+
+def inference_mono(params, feat, pos, cfg: MASt3RConfig, ds: int = 1):
     """Self-pair decode (spec: mast3r_inference_mono, mast3r_utils.py:118-139).
 
-    Returns (X (b, h*w, 3), C (b, h*w, 1)) canonical pointmap + conf.
+    Returns (X (b, n, 3), C (b, n, 1)) canonical pointmap + conf
+    (n = h*w / ds^2).
     """
     res1, _ = decode_pair(params, feat, pos, feat, pos, cfg)
     b = feat.shape[0]
-    X = res1["pts3d"].reshape(b, -1, 3)
-    C = res1["conf"].reshape(b, -1, 1)
-    return X, C
+    X, C = downsample_maps(res1["pts3d"], res1["conf"][..., None], ds=ds)
+    return X.reshape(b, -1, 3), C.reshape(b, -1, 1)
 
 
 def inference_asymmetric(params, feat_f, pos_f, feat_k, pos_k, cfg):

@@ -31,8 +31,9 @@ class FactorGraphConfig(NamedTuple):
     matching: dict = None  # set from the global config at construction
 
 
-@partial(jax.jit, static_argnames=("cfg", "mcfg"))
-def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j):
+@partial(jax.jit, static_argnames=("cfg", "mcfg", "ds"))
+def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
+                           ds: int = 1):
     """Decode + match both directions of a batch of candidate edges.
 
     Returns per-edge match arrays mirroring mast3r_match_symmetric
@@ -40,6 +41,8 @@ def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j):
     valid_match_i (b, P, 1); Qii/Qjj/Qji/Qij (b, P).
     """
     out = mast3r.inference_symmetric(params, feat_i, pos_i, feat_j, pos_j, cfg)
+    if ds > 1:
+        out = {k: mast3r.downsample_maps(v, ds=ds)[0] for k, v in out.items()}
     b = feat_i.shape[0]
     X11 = jnp.concatenate([out["Xii"], out["Xjj"]], axis=0)
     X21 = jnp.concatenate([out["Xji"], out["Xij"]], axis=0)
@@ -79,7 +82,8 @@ class FactorGraph:
 
     def __init__(self, params, model_cfg, keyframes: KeyframeStore,
                  cfg: FactorGraphConfig, ba_cfg: ba.BAConfig,
-                 mcfg: MatchingConfig, K=None):
+                 mcfg: MatchingConfig, K=None, downsample: int = 1):
+        self.downsample = downsample
         self.params = params
         self.model_cfg = model_cfg
         self.frames = keyframes
@@ -110,7 +114,8 @@ class FactorGraph:
         pos_j = self.frames.pos[jj_arr]
 
         m = _match_edges_symmetric(self.params, self.model_cfg, self.mcfg,
-                                   feat_i, pos_i, feat_j, pos_j)
+                                   feat_i, pos_i, feat_j, pos_j,
+                                   self.downsample)
 
         b, P = m["idx_i2j"].shape
         # paired desc-confidences (global_opt.py:55-58)

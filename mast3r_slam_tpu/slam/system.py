@@ -31,15 +31,18 @@ from .frame import Frame, KeyframeStore, Mode
 from .retrieval import RetrievalConfig, RetrievalDatabase
 
 
-@partial(jax.jit, static_argnames=("cfg", "mcfg"))
-def _track_match(params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init):
+@partial(jax.jit, static_argnames=("cfg", "mcfg", "ds"))
+def _track_match(params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init,
+                 ds: int = 1):
     """Asymmetric two-view inference + frame->keyframe matching.
 
-    Spec: mast3r_match_asymmetric (mast3r_utils.py:209-231). Returns flat
-    (h*w, ...) arrays: idx_f2k, valid, Xff, Cff, Qff, Xkf, Ckf, Qkf.
+    Spec: mast3r_match_asymmetric (mast3r_utils.py:209-231); predictions are
+    subsampled by ``ds`` before matching (img_downsample config). Returns
+    flat (n, ...) arrays: idx_f2k, valid, Xff, Cff, Qff, Xkf, Ckf, Qkf.
     """
     X, C, D, Q = mast3r.inference_asymmetric(params, feat_f, pos_f, feat_k,
                                              pos_k, cfg)
+    X, C, D, Q = mast3r.downsample_maps(X, C, D, Q, ds=ds)
     Xff, Xkf = X[0:1], X[1:2]
     Dff, Dkf = D[0:1], D[1:2]
     idx, valid = matching.match(Xff, Xkf, Dff, Dkf,
@@ -95,6 +98,7 @@ class TrackerRunner:
         self.filtering_mode = filtering_mode
         self.use_calib = use_calib
         self.K = K
+        self.downsample = 1
         self.idx_f2k = None
 
     def reset_idx(self):
@@ -113,6 +117,7 @@ class TrackerRunner:
             self.params, cfg, self.mcfg, frame.feat[None], frame.pos[None],
             kf.feat[None], kf.pos[None],
             idx_init[None] if idx_init is not None else None,
+            self.downsample,
         )
         self.idx_f2k = idx_f2k
 
@@ -188,9 +193,9 @@ def _act(T, X):
     return sim3.act(T, X)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _mono_init(params, cfg, feat, pos):
-    return mast3r.inference_mono(params, feat, pos, cfg)
+@partial(jax.jit, static_argnames=("cfg", "ds"))
+def _mono_init(params, cfg, feat, pos, ds=1):
+    return mast3r.inference_mono(params, feat, pos, cfg, ds)
 
 
 class SLAMSystem:
@@ -203,6 +208,15 @@ class SLAMSystem:
         from .. import config as config_mod
 
         h, w = img_shape
+        self.full_img_shape = (h, w)
+        self.downsample = int(config.get("dataset", {}).get("img_downsample",
+                                                            1))
+        ds = self.downsample
+        if ds > 1:
+            h, w = h // ds, w // ds
+            if K is not None:
+                K = K / ds * jnp.asarray([[1.0, 1, 1], [1, 1, 1],
+                                          [ds, ds, ds]])
         rt = config.get("runtime", {})
         kf_cap = keyframe_capacity or int(rt.get("keyframe_capacity", 512))
         e_cap = edge_capacity or int(rt.get("edge_capacity", 1024))
@@ -231,8 +245,10 @@ class SLAMSystem:
             params, model_cfg, self.keyframes, tcfg, mcfg,
             filtering_mode=config["tracking"]["filtering_mode"],
             use_calib=self.use_calib, K=K)
+        self.tracker.downsample = ds
         self.factor_graph = FactorGraph(params, model_cfg, self.keyframes,
-                                        fg_cfg, ba_cfg, mcfg, K=K)
+                                        fg_cfg, ba_cfg, mcfg, K=K,
+                                        downsample=ds)
         self.retrieval = (
             RetrievalDatabase(retrieval_params) if retrieval_params else None
         )
@@ -255,9 +271,12 @@ class SLAMSystem:
         img = jnp.asarray(img_np)
         T_WC = (self.current_frame.T_WC if self.current_frame is not None
                 else sim3.identity())
-        # uimg stays host-side (export/viz only)
-        frame = Frame(frame_id=frame_id, img=img,
-                      uimg=img_np * 0.5 + 0.5, T_WC=T_WC, K=self.K)
+        # uimg stays host-side (export/viz only), at the working resolution
+        ds = self.downsample
+        uimg = (img_np * 0.5 + 0.5)[::ds, ::ds] if ds > 1 else (
+            img_np * 0.5 + 0.5)
+        frame = Frame(frame_id=frame_id, img=img, uimg=uimg, T_WC=T_WC,
+                      K=self.K)
         feat, pos = mast3r.encode(self.params, img[None], self.model_cfg)
         frame.feat = feat[0]
         frame.pos = pos[0]
@@ -269,7 +288,7 @@ class SLAMSystem:
         """One frontend step; returns the (possibly updated) mode."""
         if self.mode == Mode.INIT:
             X, C = _mono_init(self.params, self.model_cfg, frame.feat[None],
-                              frame.pos[None])
+                              frame.pos[None], self.downsample)
             frame.update_pointmap(X[0], C[0],
                                   self.config["tracking"]["filtering_mode"])
             self.keyframes.append(frame)
@@ -293,7 +312,7 @@ class SLAMSystem:
 
         if self.mode == Mode.RELOC:
             X, C = _mono_init(self.params, self.model_cfg, frame.feat[None],
-                              frame.pos[None])
+                              frame.pos[None], self.downsample)
             frame.update_pointmap(X[0], C[0],
                                   self.config["tracking"]["filtering_mode"])
             self.current_frame = frame
