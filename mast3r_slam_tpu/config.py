@@ -115,6 +115,7 @@ def make_factor_graph_config(cfg: dict, edge_capacity: int = 256
     return FactorGraphConfig(
         edge_capacity=edge_capacity, Q_conf=float(o["Q_conf"]),
         min_match_frac=float(o["min_match_frac"]),
+        matcher=str(o.get("matcher", "iter_proj")),
     )
 
 

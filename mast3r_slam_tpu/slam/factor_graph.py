@@ -19,7 +19,7 @@ import numpy as np
 
 from .. import geometry
 from ..models import mast3r
-from ..ops import matching
+from ..ops import dense_matcher, matching
 from . import ba
 from .frame import KeyframeStore
 
@@ -28,12 +28,15 @@ class FactorGraphConfig(NamedTuple):
     edge_capacity: int = 256
     Q_conf: float = 1.5
     min_match_frac: float = 0.1
-    matching: dict = None  # set from the global config at construction
+    matcher: str = "iter_proj"  # "iter_proj" (reference parity) or "dense"
+                                # (TPU-native coarse-to-fine correlation;
+                                # more robust without a warm start, ~2x
+                                # faster per edge)
 
 
-@partial(jax.jit, static_argnames=("cfg", "mcfg", "ds"))
+@partial(jax.jit, static_argnames=("cfg", "mcfg", "ds", "matcher"))
 def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
-                           ds: int = 1):
+                           ds: int = 1, matcher: str = "iter_proj"):
     """Decode + match both directions of a batch of candidate edges.
 
     Returns per-edge match arrays mirroring mast3r_match_symmetric
@@ -48,7 +51,13 @@ def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
     X21 = jnp.concatenate([out["Xji"], out["Xij"]], axis=0)
     D11 = jnp.concatenate([out["Dii"], out["Djj"]], axis=0)
     D21 = jnp.concatenate([out["Dji"], out["Dij"]], axis=0)
-    idx, valid = matching.match(X11, X21, D11, D21, **mcfg._asdict())
+    if matcher == "dense":
+        idx, valid = dense_matcher.match_dense(
+            X11, X21, D11, D21, dist_thresh=mcfg.dist_thresh,
+            fine_radius=mcfg.radius, lambda_init=mcfg.lambda_init,
+            convergence_thresh=mcfg.convergence_thresh)
+    else:
+        idx, valid = matching.match(X11, X21, D11, D21, **mcfg._asdict())
     hw = X11.shape[1] * X11.shape[2]
     flat = lambda a: a.reshape(b, hw)
     return {
@@ -115,7 +124,7 @@ class FactorGraph:
 
         m = _match_edges_symmetric(self.params, self.model_cfg, self.mcfg,
                                    feat_i, pos_i, feat_j, pos_j,
-                                   self.downsample)
+                                   self.downsample, self.cfg.matcher)
 
         b, P = m["idx_i2j"].shape
         # paired desc-confidences (global_opt.py:55-58)
