@@ -32,13 +32,24 @@ class Mode(enum.Enum):
     TERMINATED = 3
 
 
-@partial(jax.jit, static_argnames=("mode",), donate_argnums=(1, 2))
-def fuse_pointmap(mode: str, X_old, C_old, N_old, X_new, C_new):
-    """One fusion step; returns (X, C, N). Spec: frame.py:41-105.
+@partial(jax.jit, static_argnames=("mode", "score_fn"),
+         donate_argnums=(1, 2))
+def fuse_pointmap(mode: str, X_old, C_old, N_old, X_new, C_new,
+                  score_old=None, score_fn: str = "median"):
+    """One fusion step; returns (X, C, N[, score]). Spec: frame.py:41-105.
 
     ``N`` is the accumulation count used by get_average_conf (C is a running
-    sum in the weighted modes, as in the reference).
+    sum in the weighted modes, as in the reference). ``best_score`` keeps the
+    map whose median/mean confidence is highest (frame.py:33-38, 62-68).
     """
+    if mode == "best_score":
+        new_score = (jnp.median(C_new) if score_fn == "median"
+                     else jnp.mean(C_new))
+        take = new_score > score_old
+        X = jnp.where(take, X_new, X_old)
+        C = jnp.where(take, C_new, C_old)
+        score = jnp.where(take, new_score, score_old)
+        return X, C, jnp.ones_like(N_old), score
     if mode == "first":
         return X_old, C_old, N_old
     if mode == "recent":
@@ -85,17 +96,27 @@ class Frame:
     pos: Optional[jnp.ndarray] = None       # (n, 2)
     N: int = 0
     K: Optional[jnp.ndarray] = None
+    score: Optional[jnp.ndarray] = None     # best_score filtering state
 
     def __post_init__(self):
         if self.T_WC is None:
             self.T_WC = sim3.identity()
 
-    def update_pointmap(self, X, C, mode: str):
+    def update_pointmap(self, X, C, mode: str, score_fn: str = "median"):
         if self.N == 0:
             self.X_canon, self.C, self.N = X, C, 1
+            if mode == "best_score":
+                self.score = (jnp.median(C) if score_fn == "median"
+                              else jnp.mean(C))
             return
-        Xn, Cn, Nn = fuse_pointmap(mode, self.X_canon, self.C,
-                                   jnp.asarray(self.N, jnp.int32), X, C)
+        if mode == "best_score":
+            Xn, Cn, Nn, score = fuse_pointmap(
+                mode, self.X_canon, self.C, jnp.asarray(self.N, jnp.int32),
+                X, C, self.score, score_fn)
+            self.score = score
+        else:
+            Xn, Cn, Nn = fuse_pointmap(mode, self.X_canon, self.C,
+                                       jnp.asarray(self.N, jnp.int32), X, C)
         self.X_canon, self.C, self.N = Xn, Cn, int(Nn)
 
     def get_average_conf(self):
@@ -139,6 +160,7 @@ class KeyframeStore:
         self.N = z((capacity,), jnp.int32)
         self.feat = z((capacity, num_patches, feat_dim), feat_dtype)
         self.pos = z((capacity, num_patches, 2), jnp.int32)
+        self.score = z((capacity,), dtype)   # best_score filtering state
         # uimg is export/viz-only -> host memory, not HBM
         self.uimg = _np.zeros((capacity, h, w, 3), _np.float32)
         self.K = None
@@ -166,6 +188,9 @@ class KeyframeStore:
         self.N = sr(self.N, idx, jnp.asarray(frame.N, jnp.int32))
         self.feat = sr(self.feat, idx, frame.feat.astype(self.feat.dtype))
         self.pos = sr(self.pos, idx, frame.pos)
+        if frame.score is not None:
+            self.score = sr(self.score, idx,
+                            jnp.asarray(frame.score, self.score.dtype))
         if frame.uimg is not None:
             import numpy as _np
 
@@ -183,6 +208,7 @@ class KeyframeStore:
             pos=self.pos[idx],
             N=int(self.N[idx]),
             K=self.K,
+            score=self.score[idx],
         )
         return f
 

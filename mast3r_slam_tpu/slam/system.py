@@ -88,7 +88,8 @@ class TrackerRunner:
 
     def __init__(self, params, model_cfg, keyframes: KeyframeStore,
                  tcfg: tracker_mod.TrackerConfig, mcfg: MatchingConfig,
-                 filtering_mode: str = "weighted_pointmap", use_calib=False,
+                 filtering_mode: str = "weighted_pointmap",
+                 filtering_score: str = "median", use_calib=False,
                  K=None):
         self.params = params
         self.model_cfg = model_cfg
@@ -96,6 +97,7 @@ class TrackerRunner:
         self.tcfg = tcfg
         self.mcfg = mcfg
         self.filtering_mode = filtering_mode
+        self.filtering_score = filtering_score
         self.use_calib = use_calib
         self.K = K
         self.downsample = 1
@@ -121,7 +123,8 @@ class TrackerRunner:
         )
         self.idx_f2k = idx_f2k
 
-        frame.update_pointmap(Xff, Cff, self.filtering_mode)
+        frame.update_pointmap(Xff, Cff, self.filtering_mode,
+                              self.filtering_score)
 
         Qk, valid_opt, stats = _track_gate(
             idx_f2k, valid_match_k, Qff, Qkf, frame.get_average_conf(),
@@ -162,7 +165,8 @@ class TrackerRunner:
 
         # map keyframe-frame points into keyframe coords and fuse
         Xkk = _act(T_CkCf, Xkf)
-        kf.update_pointmap(Xkk, Ckf, self.filtering_mode)
+        kf.update_pointmap(Xkk, Ckf, self.filtering_mode,
+                           self.filtering_score)
         self.keyframes.set_frame(len(self.keyframes) - 1, kf)
 
         # keyframe decision (tracker.py:104-110)
@@ -244,6 +248,8 @@ class SLAMSystem:
         self.tracker = TrackerRunner(
             params, model_cfg, self.keyframes, tcfg, mcfg,
             filtering_mode=config["tracking"]["filtering_mode"],
+            filtering_score=config["tracking"].get("filtering_score",
+                                                   "median"),
             use_calib=self.use_calib, K=K)
         self.tracker.downsample = ds
         self.factor_graph = FactorGraph(params, model_cfg, self.keyframes,
