@@ -48,6 +48,7 @@ class BAConfig(NamedTuple):
     sigma_dist: float = 10.0
     sigma_pixel: float = 1.0
     sigma_depth: float = 10.0
+    sigma_point: float = 0.05
     delta_norm: float = 1e-8
     pixel_border: int = -10
     depth_eps: float = 1e-6
@@ -143,6 +144,77 @@ def _edge_terms_rays(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
         vm_p.transpose(1, 0, 2),
         Q_p.transpose(1, 0, 2),
         Xj_p.transpose(1, 0, 2, 3),
+        Cj_p.transpose(1, 0, 2),
+    )
+    (H, g), _ = jax.lax.scan(chunk, init, inputs)
+    return H, g
+
+
+def _edge_terms_points(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
+                       cfg: BAConfig):
+    """Per-edge H/g for the 3D point-difference residual
+    (spec: point_align_kernel, gn_kernels.cu:455-723 — exported by the
+    reference backend though unused by its driver)."""
+    E, P = idx.shape
+    Ti = T_WCs[ii]
+    Tj = T_WCs[jj]
+    Tij = sim3.rel(Ti, Tj)
+    Cj_all = Cs[jj]
+    Xj_all = Xs[jj]
+    sigma_point_inv = 1.0 / cfg.sigma_point
+
+    C = min(cfg.point_chunk, P)
+    n_chunks = -(-P // C)
+    pad = n_chunks * C - P
+
+    def pad_pts(x, fill=0):
+        if pad == 0:
+            return x
+        cfgpad = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, cfgpad, constant_values=fill)
+
+    idx_p = pad_pts(idx).reshape(E, n_chunks, C)
+    vm_p = pad_pts(valid_match).reshape(E, n_chunks, C)
+    Q_p = pad_pts(Q).reshape(E, n_chunks, C)
+    Xj_p = pad_pts(Xj_all).reshape(E, n_chunks, C, 3)
+    Cj_p = pad_pts(Cj_all).reshape(E, n_chunks, C)
+
+    def chunk(carry, inputs):
+        H_acc, g_acc = carry
+        idx_c, vm_c, Q_c, Xj_c, Cj_c = inputs
+        safe_idx = jnp.where(vm_c, idx_c, 0)
+        Xi_c, Ci_c = _gather_points(Xs, Cs, ii, safe_idx)
+
+        Xj_Ci = geometry.act_Sim3(Tij[:, None, :], Xj_c)
+        err = Xj_Ci - Xi_c                                      # (E, C, 3)
+        # d(Tij Xj)/d(xi) = [I, -skew(P), P]
+        I = jnp.broadcast_to(jnp.eye(3), Xj_Ci.shape[:-1] + (3, 3))
+        J_theta = jnp.concatenate(
+            [I, -sim3.skew(Xj_Ci), Xj_Ci[..., :, None]], axis=-1)
+        Jj = sim3.apply_adj_inv_T(Ti[:, None, None, :], J_theta)
+        J = jnp.concatenate([-Jj, Jj], axis=-1)
+
+        valid = (
+            vm_c & (Q_c > cfg.Q_conf) & (Ci_c > cfg.C_conf)
+            & (Cj_c > cfg.C_conf)
+        )
+        sqrt_w = jnp.where(valid, sigma_point_inv * jnp.sqrt(Q_c), 0.0)
+        sqrt_w = jnp.repeat(sqrt_w[..., None], 3, axis=-1)
+        w_ = robust.huber(sqrt_w * err) * sqrt_w * sqrt_w
+        w_ = w_ * edge_mask[:, None, None]
+
+        wJ = (w_[..., None] * J).reshape(E, C * 3, 14)
+        Jf = J.reshape(E, C * 3, 14)
+        H_acc = H_acc + jnp.einsum("eck,ecl->ekl", wJ, Jf,
+                                   preferred_element_type=jnp.float32)
+        g_acc = g_acc + jnp.einsum("ecr,ecr,ecrk->ek", w_, err, J,
+                                   preferred_element_type=jnp.float32)
+        return (H_acc, g_acc), None
+
+    init = (jnp.zeros((E, 14, 14)), jnp.zeros((E, 14)))
+    inputs = (
+        idx_p.transpose(1, 0, 2), vm_p.transpose(1, 0, 2),
+        Q_p.transpose(1, 0, 2), Xj_p.transpose(1, 0, 2, 3),
         Cj_p.transpose(1, 0, 2),
     )
     (H, g), _ = jax.lax.scan(chunk, init, inputs)
@@ -327,6 +399,33 @@ def gauss_newton_rays(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
         T, it, done = state
         H, g = _edge_terms_rays(T, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
                                 edge_mask, cfg)
+        dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin)
+        T_new = sim3.retr(T, dx)
+        T = jnp.where(free[:, None], T_new, T)
+        delta_norm = jnp.linalg.norm(jnp.where(free[:, None], dx, 0.0))
+        return T, it + 1, delta_norm < cfg.delta_norm
+
+    def cond(state):
+        _, it, done = state
+        return (~done) & (it < cfg.max_iters)
+
+    T, _, _ = jax.lax.while_loop(
+        cond, body, (T_WCs, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    )
+    return T
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def gauss_newton_points(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
+                        edge_mask, n_kf, cfg: BAConfig):
+    """Global GN on 3D point-difference residuals (spec:
+    gauss_newton_points_cuda, gn_kernels.cu:725-811)."""
+    K_cap = T_WCs.shape[0]
+
+    def body(state):
+        T, it, done = state
+        H, g = _edge_terms_points(T, Xs, Cs, ii, jj, idx_ii2jj, valid_match,
+                                  Q, edge_mask, cfg)
         dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin)
         T_new = sim3.retr(T, dx)
         T = jnp.where(free[:, None], T_new, T)

@@ -102,6 +102,7 @@ class TrackerRunner:
         self.K = K
         self.downsample = 1
         self.idx_f2k = None
+        self.last_stats = {}
 
     def reset_idx(self):
         self.idx_f2k = None
@@ -130,6 +131,9 @@ class TrackerRunner:
             idx_f2k, valid_match_k, Qff, Qkf, frame.get_average_conf(),
             kf.get_average_conf(), tcfg.C_conf, tcfg.Q_conf)
         match_frac, match_frac_k, unique_frac = np.asarray(stats)
+        self.last_stats = {"match_frac": float(match_frac),
+                           "match_frac_k": float(match_frac_k),
+                           "unique_frac": float(unique_frac)}
 
         if match_frac < tcfg.min_match_frac:
             print(f"Skipped frame {frame.frame_id}")
@@ -208,7 +212,8 @@ class SLAMSystem:
 
     def __init__(self, params, model_cfg, config: dict, img_shape,
                  retrieval_params=None, K=None,
-                 keyframe_capacity=None, edge_capacity=None):
+                 keyframe_capacity=None, edge_capacity=None, metrics=None,
+                 debug_checks: bool = False):
         from .. import config as config_mod
 
         h, w = img_shape
@@ -267,6 +272,8 @@ class SLAMSystem:
         self.current_frame: Optional[Frame] = None
         self.stats = {"skipped": 0, "keyframes": 0, "loop_closures": 0,
                       "relocs": 0}
+        self.metrics = metrics
+        self.debug_checks = debug_checks
 
     # -- frame construction --------------------------------------------------
 
@@ -314,6 +321,14 @@ class SLAMSystem:
                 self.keyframes.append(frame)
                 self.stats["keyframes"] += 1
                 self.backend_queue.append(len(self.keyframes) - 1)
+            if self.metrics is not None:
+                self.metrics.log(event="track", frame=frame.frame_id,
+                                 new_kf=bool(new_kf), reloc=bool(try_reloc),
+                                 n_kf=len(self.keyframes),
+                                 n_edges=self.factor_graph.n_edges,
+                                 **self.tracker.last_stats)
+            if self.debug_checks:
+                self.check_invariants()
             return self.mode
 
         if self.mode == Mode.RELOC:
@@ -326,6 +341,27 @@ class SLAMSystem:
             return self.mode
 
         raise RuntimeError(f"invalid mode {self.mode}")
+
+    def check_invariants(self):
+        """Assertion-mode runtime checks (SURVEY.md §5.2 — replaces the
+        reference's lock-discipline-by-convention with explicit validation)."""
+        kf = self.keyframes
+        assert 0 <= kf.n_size <= kf.capacity
+        assert 0 <= self.factor_graph.n_edges <= \
+            self.factor_graph.cfg.edge_capacity
+        n = kf.n_size
+        if n:
+            T = np.asarray(kf.T_WC[:n])
+            assert np.all(np.isfinite(T)), "non-finite keyframe pose"
+            q = np.linalg.norm(T[:, 3:7], axis=-1)
+            assert np.all(np.abs(q - 1.0) < 1e-2), "denormalized quaternion"
+            assert np.all(T[:, 7] > 0), "non-positive scale"
+        e = self.factor_graph.n_edges
+        if e:
+            ii = np.asarray(self.factor_graph.ii[:e])
+            jj = np.asarray(self.factor_graph.jj[:e])
+            assert ii.min() >= 0 and ii.max() < max(n, 1)
+            assert jj.min() >= 0 and jj.max() < max(n, 1)
 
     # -- backend -------------------------------------------------------------
 

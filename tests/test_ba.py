@@ -199,3 +199,23 @@ def test_gn_calib_recovers_poses():
     assert c_opt < 0.05 * c_init, (c_gt, c_init, c_opt)
     err = jax.vmap(lambda a, b: sim3.log(sim3.mul(sim3.inv(a), b)))(T_true, T_opt)
     assert float(jnp.abs(err).max()) < 0.15, np.asarray(err)
+
+
+def test_gn_points_recovers_poses():
+    """Point-difference residual variant (exported like the reference's
+    point_align kernel)."""
+    key = jax.random.PRNGKey(5)
+    n_kf, P = 4, 256
+    T_true, Xs = _make_world(key, n_kf, P)
+    Cs = jnp.full((n_kf, P), 5.0)
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P)
+
+    noise = 0.05 * jax.random.normal(jax.random.fold_in(key, 7), (n_kf, 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+
+    cfg = ba.BAConfig(max_iters=20, point_chunk=128)
+    T_opt = ba.gauss_newton_points(T_init, Xs, Cs, ii, jj, idx, valid, Q,
+                                   mask, jnp.asarray(n_kf), cfg)
+    err = jax.vmap(lambda a, b: sim3.log(sim3.mul(sim3.inv(a), b)))(T_true, T_opt)
+    assert float(jnp.abs(err).max()) < 1e-3, np.asarray(err)

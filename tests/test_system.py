@@ -110,3 +110,37 @@ def test_checkpointable_state(tiny_system):
     rebuilt = jax.tree_util.tree_unflatten(treedef, flat)
     np.testing.assert_array_equal(np.asarray(rebuilt["T_WC"]),
                                   np.asarray(kf.T_WC))
+
+
+def test_metrics_and_invariants(tmp_path):
+    import jax
+
+    from mast3r_slam_tpu import config as config_mod
+    from mast3r_slam_tpu.models import TINY, init_params
+    from mast3r_slam_tpu.slam.system import SLAMSystem
+    from mast3r_slam_tpu.utils.metrics import Metrics
+
+    cfg = dict(config_mod.default_config())
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    h, w = TINY.img_size
+    m = Metrics(tmp_path / "metrics.jsonl")
+    system = SLAMSystem(params, TINY, cfg, (h, w), keyframe_capacity=4,
+                        edge_capacity=8, metrics=m, debug_checks=True)
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        frame = system.make_frame(
+            i, rng.standard_normal((h, w, 3)).astype(np.float32))
+        system.process_frame(frame)
+        while system.backend_step():
+            pass
+    system.check_invariants()
+    if len(system.keyframes) and system.stats["keyframes"] < 3:
+        pass  # tracking may keyframe every frame with random weights
+    assert (tmp_path / "metrics.jsonl").exists()
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) >= 1
+    import json
+
+    row = json.loads(lines[0])
+    assert row["event"] == "track"
+    assert "match_frac" in row
