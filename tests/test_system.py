@@ -144,3 +144,29 @@ def test_metrics_and_invariants(tmp_path):
     row = json.loads(lines[0])
     assert row["event"] == "track"
     assert "match_frac" in row
+
+
+def test_tracking_failure_triggers_reloc(tiny_system):
+    """Failure-detection tier (a): low match fraction -> frame skipped,
+    relocalization requested (spec: tracker.py:67-70)."""
+    import dataclasses
+
+    from mast3r_slam_tpu.slam import tracker as tracker_mod
+
+    system = tiny_system
+    if len(system.keyframes) == 0:
+        rng = np.random.default_rng(3)
+        h, w = TINY.img_size
+        f = system.make_frame(0, rng.standard_normal((h, w, 3)).astype(np.float32))
+        system.process_frame(f)
+    # force an impossible match-fraction gate
+    old = system.tracker.tcfg
+    system.tracker.tcfg = old._replace(min_match_frac=1.1)
+    try:
+        rng = np.random.default_rng(4)
+        h, w = TINY.img_size
+        f = system.make_frame(99, rng.standard_normal((h, w, 3)).astype(np.float32))
+        new_kf, try_reloc = system.tracker.track(f)
+        assert try_reloc and not new_kf
+    finally:
+        system.tracker.tcfg = old
