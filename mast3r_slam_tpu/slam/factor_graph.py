@@ -148,7 +148,12 @@ class FactorGraph:
         if not keep.any():
             return False
 
+        added = False
         for k in np.nonzero(keep)[0]:
+            if self.n_edges + 2 > self.cfg.edge_capacity:
+                print("FactorGraph: edge buffer full "
+                      f"({self.cfg.edge_capacity}); dropping new edges")
+                break
             # two-way storage: (i -> j) and (j -> i) as separate edges,
             # replacing prep_two_way_edges (global_opt.py:104-110)
             self._append_edge(int(ii_arr[k]), int(jj_arr[k]),
@@ -157,7 +162,8 @@ class FactorGraph:
             self._append_edge(int(jj_arr[k]), int(ii_arr[k]),
                               m["idx_j2i"][k], m["valid_match_i"][k, :, 0],
                               Qi[k])
-        return True
+            added = True
+        return added
 
     def _append_edge(self, i, j, idx, valid, Q):
         e = self.n_edges

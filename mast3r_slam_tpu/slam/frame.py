@@ -131,6 +131,15 @@ _set_row_donate = jax.jit(_set_row, donate_argnums=(0,))
 _set_row_copy = jax.jit(_set_row)
 
 
+def _get_row(buf, i):
+    return jax.lax.dynamic_index_in_dim(buf, i, keepdims=False)
+
+
+# traced row index => one executable regardless of i (remote compiles are
+# expensive; eager buf[i] slices would compile per distinct index)
+_get_row_jit = jax.jit(_get_row)
+
+
 class KeyframeStore:
     """Fixed-capacity keyframe buffer (capacity-padded device arrays).
 

@@ -27,7 +27,7 @@ from ..models import mast3r
 from ..ops import matching
 from . import ba, tracker as tracker_mod
 from .factor_graph import FactorGraph, FactorGraphConfig, MatchingConfig
-from .frame import Frame, KeyframeStore, Mode
+from .frame import Frame, KeyframeStore, Mode, _get_row_jit
 from .retrieval import RetrievalConfig, RetrievalDatabase
 
 
@@ -83,6 +83,79 @@ def _track_gate(idx_f2k, valid_match_k, Qff, Qkf, Cf_avg, Ck_avg, C_conf,
     return Qk, valid_opt, stats
 
 
+@partial(jax.jit, static_argnames=("cfg", "mcfg", "tcfg", "ds", "fuse_mode",
+                                   "score_fn", "use_calib", "img_size"))
+def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
+                       idx_init, kf_X, kf_C, kf_N, kf_score, kf_T_WC,
+                       frame_T_WC, K, ds: int, fuse_mode: str, score_fn: str,
+                       use_calib: bool, img_size):
+    """Whole tracking step as ONE compiled program.
+
+    Inference + matching + gating + Sim(3) GN + masked pointmap fusion and
+    pose update, with the skip/failure decisions returned as a 5-scalar
+    vector — the host does a single dispatch and a single tiny readback per
+    frame instead of one per stage (each call through a relayed backend
+    costs ~30-40 ms; see DEVELOPMENT.md). Semantics match the step-by-step
+    path (TrackerRunner.track); a fresh frame's canonical pointmap is its
+    own prediction (first update_pointmap with N=0).
+    """
+    from .. import geometry
+    from ..lie import sim3
+    from .frame import fuse_pointmap
+
+    (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf) = _track_match(
+        params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init, ds)
+
+    kf_Cavg = (kf_C / jnp.maximum(kf_N.astype(kf_C.dtype), 1.0))[:, None]
+    Qk, valid_opt, stats3 = _track_gate(
+        idx_f2k, valid_match_k, Qff, Qkf, Cff, kf_Cavg,
+        tcfg.C_conf, tcfg.Q_conf)
+
+    Xf = Xff
+    Xk = kf_X
+    if use_calib:
+        Xf = geometry.constrain_points_to_ray(img_size, Xf, K)
+        Xk = geometry.constrain_points_to_ray(img_size, Xk, K)
+
+    T_init = sim3.rel(kf_T_WC, frame_T_WC)
+    if not use_calib:
+        res = tracker_mod.opt_pose_ray_dist_sim3(
+            jnp.take(Xf, idx_f2k, axis=0), Xk, T_init, Qk, valid_opt, tcfg)
+    else:
+        meas_k, valid_meas_k = tracker_mod.calib_measurements(
+            Xk, K, img_size, tcfg.depth_eps)
+        res = tracker_mod.opt_pose_calib_sim3(
+            jnp.take(Xf, idx_f2k, axis=0), Xk, T_init, Qk, valid_opt,
+            meas_k, valid_meas_k, K, img_size, tcfg)
+
+    skip = stats3[0] < tcfg.min_match_frac
+    ok = (~skip) & (~res.failed)
+
+    T_CkCf = res.T_CkCf
+    T_WCf = jnp.where(ok, sim3.mul(kf_T_WC, T_CkCf), frame_T_WC)
+
+    # keyframe pointmap fusion, masked by ok (tracker.py:98-101)
+    Xkk = sim3.act(T_CkCf, Xkf)
+    if fuse_mode == "best_score":
+        Xn, Cn, Nn, score_n = fuse_pointmap(
+            fuse_mode, kf_X, kf_C[:, None], kf_N, Xkk, Ckf, kf_score,
+            score_fn)
+    else:
+        Xn, Cn, Nn = fuse_pointmap(fuse_mode, kf_X, kf_C[:, None], kf_N,
+                                   Xkk, Ckf)
+        score_n = kf_score
+    kf_X_new = jnp.where(ok, Xn, kf_X)
+    kf_C_new = jnp.where(ok, Cn[:, 0], kf_C)
+    kf_N_new = jnp.where(ok, Nn, kf_N)
+    kf_score_new = jnp.where(ok, score_n, kf_score)
+
+    stats = jnp.stack([stats3[0], stats3[1], stats3[2],
+                       skip.astype(jnp.float32),
+                       res.failed.astype(jnp.float32)])
+    return (idx_f2k, T_WCf, Xff, Cff, kf_X_new, kf_C_new, kf_N_new,
+            kf_score_new, stats)
+
+
 class TrackerRunner:
     """Frame-to-keyframe tracking driver (spec: FrameTracker, tracker.py)."""
 
@@ -101,6 +174,7 @@ class TrackerRunner:
         self.use_calib = use_calib
         self.K = K
         self.downsample = 1
+        self.fused = True
         self.idx_f2k = None
         self.last_stats = {}
 
@@ -112,6 +186,56 @@ class TrackerRunner:
 
         Returns (new_kf: bool, try_reloc: bool). Mirrors tracker.py:28-127.
         """
+        if self.fused:
+            return self._track_fused(frame)
+        return self._track_steps(frame)
+
+    def _track_fused(self, frame: Frame):
+        """Single-dispatch tracking path (_track_frame_fused)."""
+        kfs = self.keyframes
+        last = jnp.asarray(len(kfs) - 1, jnp.int32)
+        idx_init = self.idx_f2k
+        K = self.K if self.K is not None else jnp.eye(3)
+        row = _get_row_jit
+        (idx_f2k, T_WCf, Xff, Cff, kf_X, kf_C, kf_N, kf_score,
+         stats) = _track_frame_fused(
+            self.params, self.model_cfg, self.mcfg, self.tcfg,
+            frame.feat[None], frame.pos[None],
+            row(kfs.feat, last)[None], row(kfs.pos, last)[None],
+            idx_init[None] if idx_init is not None else None,
+            row(kfs.X, last), row(kfs.C, last), row(kfs.N, last),
+            row(kfs.score, last), row(kfs.T_WC, last), frame.T_WC, K,
+            self.downsample, self.filtering_mode, self.filtering_score,
+            self.use_calib, (kfs.h, kfs.w))
+
+        st = np.asarray(stats)  # the single per-frame device sync
+        self.idx_f2k = idx_f2k
+        self.last_stats = {"match_frac": float(st[0]),
+                           "match_frac_k": float(st[1]),
+                           "unique_frac": float(st[2])}
+        frame.X_canon, frame.C, frame.N = Xff, Cff, 1
+
+        if st[3] > 0.5:
+            print(f"Skipped frame {frame.frame_id}")
+            return False, True
+        if st[4] > 0.5:
+            print(f"Cholesky failed {frame.frame_id}")
+            return False, True
+
+        frame.T_WC = T_WCf
+        sr = kfs._set_row
+        kfs.X = sr(kfs.X, last, kf_X)
+        kfs.C = sr(kfs.C, last, kf_C)
+        kfs.N = sr(kfs.N, last, kf_N)
+        kfs.score = sr(kfs.score, last, kf_score)
+
+        new_kf = min(st[1], st[2]) < self.tcfg.match_frac_thresh
+        if new_kf:
+            self.reset_idx()
+        return bool(new_kf), False
+
+    def _track_steps(self, frame: Frame):
+        """Step-by-step tracking path (reference-shaped; debug/fallback)."""
         kf = self.keyframes.last_keyframe()
         cfg, tcfg = self.model_cfg, self.tcfg
 

@@ -170,3 +170,46 @@ def test_tracking_failure_triggers_reloc(tiny_system):
         assert try_reloc and not new_kf
     finally:
         system.tracker.tcfg = old
+
+
+def test_fused_and_step_tracking_agree():
+    """The single-dispatch fused tracking path must produce the same state
+    updates as the step-by-step (reference-shaped) path."""
+    import copy
+
+    import jax
+
+    from mast3r_slam_tpu import config as config_mod
+    from mast3r_slam_tpu.slam.system import SLAMSystem
+
+    cfg = dict(config_mod.default_config())
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    h, w = TINY.img_size
+    rng = np.random.default_rng(7)
+    imgs = [rng.standard_normal((h, w, 3)).astype(np.float32)
+            for _ in range(3)]
+
+    def run(fused):
+        system = SLAMSystem(params, TINY, cfg, (h, w), keyframe_capacity=4,
+                            edge_capacity=8)
+        system.tracker.fused = fused
+        outs = []
+        for i, img in enumerate(imgs):
+            frame = system.make_frame(i, img)
+            system.process_frame(frame)
+            outs.append((system.mode, len(system.keyframes)))
+        return system, outs
+
+    sys_f, out_f = run(True)
+    sys_s, out_s = run(False)
+    assert out_f == out_s
+    n = len(sys_f.keyframes)
+    np.testing.assert_allclose(
+        np.asarray(sys_f.keyframes.T_WC[:n]),
+        np.asarray(sys_s.keyframes.T_WC[:n]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sys_f.keyframes.X[:n]),
+        np.asarray(sys_s.keyframes.X[:n]), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(sys_f.keyframes.C[:n]),
+        np.asarray(sys_s.keyframes.C[:n]), atol=1e-3)
