@@ -67,9 +67,11 @@ def main(argv=None):
     (h, w), _ = dataset.get_img_shape()
     print(f"frame size: {h}x{w}")
 
+    rt = cfg.get("runtime", {})
     model_cfg = MASt3RConfig(
         img_size=(h, w),
-        dtype=cfg.get("runtime", {}).get("model_dtype", "bfloat16"))
+        dtype=rt.get("model_dtype", "bfloat16"),
+        head_dtype=rt.get("head_dtype", "float32"))
     if args.checkpoint:
         print(f"loading checkpoint {args.checkpoint}")
         params = convert.load_checkpoint(args.checkpoint, model_cfg)
