@@ -29,9 +29,11 @@ def main():
     from mast3r_slam_tpu.slam.factor_graph import MatchingConfig
 
     h, w = 384, 512
+    # configs/tpu_fast.yaml serving settings (see DEVELOPMENT.md for the
+    # accuracy tradeoffs; reference-parity settings run ~40% slower)
     cfg = MASt3RConfig(img_size=(h, w), dtype="bfloat16",
                        head_dtype="bfloat16")
-    mcfg = MatchingConfig()
+    mcfg = MatchingConfig(dilation_max=2)
     tcfg = tracker_mod.TrackerConfig()
 
     key = jax.random.PRNGKey(0)

@@ -1,0 +1,95 @@
+"""Window-based gathers: fetch whole candidate windows with one gather index
+per point instead of one per candidate.
+
+MEASURED RESULT (see DEVELOPMENT.md): on the current XLA TPU backend,
+vmapped multi-dim dynamic slices lower to a gather that is 6-40x SLOWER
+than per-candidate row gathers (row gathers use the fast (1, c)-slice
+path). This module therefore is NOT used by the default matcher; it is
+kept because (a) it is a correct, property-tested alternative
+implementation and (b) the phase-decimation layout is exactly what makes a
+future Pallas kernel's window DMA contiguous — the intended round-2 path
+for the gather-bound descriptor search.
+
+The dilated-window trick: candidates of dilation ``d`` around (u0, v0) live
+at u0 - rd + i*d — on the phase-decimated image P[pv, pu, vv, uu] =
+img[vv*d + pv, uu*d + pu] with pv = v0 % d, pu = u0 % d they become the
+CONTIGUOUS window rows (v0//d - r ... v0//d + r), so one window fetch per
+point covers the whole dilated candidate set for any alignment.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("d", "r"))
+def build_phase_decimation(img, d: int, r: int):
+    """(h, w, c) -> (d, d, h' + 2r, w' + 2r, c) padded phase decimation
+    with h' = ceil(h/d), w' = ceil(w/d); pad regions are zero."""
+    h, w, c = img.shape
+    hp = -(-h // d) * d
+    wp = -(-w // d) * d
+    x = jnp.pad(img, ((0, hp - h), (0, wp - w), (0, 0)))
+    x = x.reshape(hp // d, d, wp // d, d, c).transpose(1, 3, 0, 2, 4)
+    return jnp.pad(x, ((0, 0), (0, 0), (r, r), (r, r), (0, 0)))
+
+
+@partial(jax.jit, static_argnames=("d", "r"))
+def gather_dilated_windows(phases, u0, v0, d: int, r: int):
+    """Fetch the (2r+1, 2r+1, c) dilation-``d`` window around each (u0, v0).
+
+    phases: output of build_phase_decimation. u0, v0: (n,) int32 (any values;
+    out-of-image candidates return zeros — mask via in-image checks on the
+    original coordinates). Returns (n, 2r+1, 2r+1, c).
+    """
+    c = phases.shape[-1]
+    k = 2 * r + 1
+    pv = v0 % d
+    pu = u0 % d
+    vs = v0 // d           # + r pad - r window start
+    us = u0 // d
+
+    def get(pv_, pu_, vs_, us_):
+        return jax.lax.dynamic_slice(
+            phases, (pv_, pu_, vs_, us_, 0), (1, 1, k, k, c))[0, 0]
+
+    return jax.vmap(get)(pv, pu, vs, us)
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+def refine_matches_window(D11, D21, p1, radius: int = 3,
+                          dilation_max: int = 5):
+    """Drop-in replacement for ops.matching.refine_matches using one
+    window-slice gather per point per level (identical results)."""
+    b, h, w, f = D11.shape
+    cdt = jnp.promote_types(D11.dtype, D21.dtype)
+    k = 2 * radius + 1
+
+    def one_image(Dimg, Dq, u0, v0):
+        for d in range(dilation_max, 0, -1):
+            rd = radius * d
+            phases = build_phase_decimation(Dimg, d, radius)
+            wnd = gather_dilated_windows(phases, u0, v0, d, radius)
+            # candidate original coords + inside mask
+            offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * d
+            uu = u0[:, None, None] + offs[None, None, :]
+            vv = v0[:, None, None] + offs[None, :, None]
+            inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+            scores = jnp.einsum("nijf,nf->nij", wnd.astype(cdt),
+                                Dq.astype(cdt),
+                                preferred_element_type=jnp.float32)
+            scores = jnp.where(inside, scores, -jnp.inf)
+            flatsc = scores.reshape(-1, k * k)
+            best = jnp.argmax(flatsc, axis=-1)
+            bi = best // k
+            bj = best % k
+            u0 = jnp.clip(u0 + (bj - radius) * d, 0, w - 1)
+            v0 = jnp.clip(v0 + (bi - radius) * d, 0, h - 1)
+        return u0, v0
+
+    outs = jax.vmap(one_image)(D11, D21, p1[..., 0].astype(jnp.int32),
+                               p1[..., 1].astype(jnp.int32))
+    return jnp.stack([outs[0], outs[1]], axis=-1)

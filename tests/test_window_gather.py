@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.ops import matching, window_gather
+
+
+def test_phase_decimation_roundtrip():
+    key = jax.random.PRNGKey(0)
+    img = jax.random.normal(key, (10, 14, 3))
+    d, r = 3, 2
+    P = window_gather.build_phase_decimation(img, d, r)
+    # P[pv, pu, vv + r, uu + r] == img[vv*d + pv, uu*d + pu]
+    for pv in range(d):
+        for pu in range(d):
+            for vv in range(10 // d):
+                for uu in range(14 // d):
+                    np.testing.assert_allclose(
+                        np.asarray(P[pv, pu, vv + r, uu + r]),
+                        np.asarray(img[vv * d + pv, uu * d + pu]))
+
+
+def test_gather_dilated_windows_matches_direct():
+    key = jax.random.PRNGKey(1)
+    h, w, c = 24, 32, 4
+    img = jax.random.normal(key, (h, w, c))
+    d, r = 2, 3
+    rng = np.random.default_rng(0)
+    n = 40
+    u0 = jnp.asarray(rng.integers(0, w, n), jnp.int32)
+    v0 = jnp.asarray(rng.integers(0, h, n), jnp.int32)
+    P = window_gather.build_phase_decimation(img, d, r)
+    wnd = np.asarray(window_gather.gather_dilated_windows(P, u0, v0, d, r))
+    for p in range(n):
+        for i in range(2 * r + 1):
+            for j in range(2 * r + 1):
+                v = int(v0[p]) + (i - r) * d
+                u = int(u0[p]) + (j - r) * d
+                if 0 <= v < h and 0 <= u < w:
+                    np.testing.assert_allclose(wnd[p, i, j],
+                                               np.asarray(img[v, u]),
+                                               err_msg=f"{p},{i},{j}")
+
+
+def test_refine_window_equals_row_gather_impl():
+    key = jax.random.PRNGKey(2)
+    b, h, w, f = 1, 20, 28, 8
+    D11 = jax.random.normal(key, (b, h, w, f))
+    D11 = D11 / jnp.linalg.norm(D11, axis=-1, keepdims=True)
+    n = h * w
+    D21 = jax.random.normal(jax.random.fold_in(key, 1), (b, n, f))
+    D21 = D21 / jnp.linalg.norm(D21, axis=-1, keepdims=True)
+    rng = np.random.default_rng(3)
+    p1 = jnp.asarray(
+        np.stack([rng.integers(1, w - 1, n), rng.integers(1, h - 1, n)], -1)[None],
+        jnp.int32)
+    for radius, dil in [(3, 5), (2, 2), (1, 1)]:
+        a = matching.refine_matches(D11, D21, p1, radius, dil)
+        bwin = window_gather.refine_matches_window(D11, D21, p1, radius, dil)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bwin),
+                                      err_msg=f"r={radius} d={dil}")
