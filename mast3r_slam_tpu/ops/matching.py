@@ -51,8 +51,18 @@ def prep_rays_grad(X11):
     return jnp.concatenate([rays, gx, gy], axis=-1)
 
 
-def _bilinear_gather(flat_img, u, v, w, h):
-    """Sample (b, h*w, c) flat image at float pixel coords (b, n).
+def _unfold_pairs(img):
+    """(b, h, w, c) -> (b, h*(w-1), 2c): row (v, u) holds
+    [img[v, u], img[v, u+1]] so one bilinear sample costs 2 row gathers
+    (v and v+1) instead of 4 corner gathers — TPU gathers are priced per
+    gathered row, not per byte (DEVELOPMENT.md)."""
+    b, h, w, c = img.shape
+    U = jnp.concatenate([img[:, :, :-1, :], img[:, :, 1:, :]], axis=-1)
+    return U.reshape(b, h * (w - 1), 2 * c)
+
+
+def _bilinear_gather(unfolded, u, v, w, h, c):
+    """Sample the pair-unfolded image at float pixel coords (b, n).
 
     Matches the CUDA kernel's weight/corner pairing
     (matching_kernels.cu:155-183). Assumes u in [1, w-2], v in [1, h-2]
@@ -60,27 +70,21 @@ def _bilinear_gather(flat_img, u, v, w, h):
     """
     u11 = jnp.floor(u)
     v11 = jnp.floor(v)
-    du = u - u11
-    dv = v - v11
+    du = (u - u11)[..., None]
+    dv = (v - v11)[..., None]
     iu = u11.astype(jnp.int32)
     iv = v11.astype(jnp.int32)
-
-    w11 = (du * dv)[..., None]                 # pairs with (v+1, u+1)
-    w12 = ((1.0 - du) * dv)[..., None]         # (v+1, u)
-    w21 = (du * (1.0 - dv))[..., None]         # (v, u+1)
-    w22 = ((1.0 - du) * (1.0 - dv))[..., None] # (v, u)
-
-    base = iv * w + iu
+    wu = w - 1
+    base = iv * wu + iu
 
     def take(idx):
-        return jnp.take_along_axis(flat_img, idx[..., None], axis=1)
+        return jnp.take_along_axis(unfolded, idx[..., None], axis=1)
 
-    return (
-        w11 * take(base + w + 1)
-        + w12 * take(base + w)
-        + w21 * take(base + 1)
-        + w22 * take(base)
-    )
+    r0 = take(base)             # [img[v, u], img[v, u+1]]
+    r1 = take(base + wu)        # [img[v+1, u], img[v+1, u+1]]
+    top = r0[..., :c] * (1.0 - du) + r0[..., c:] * du
+    bot = r1[..., :c] * (1.0 - du) + r1[..., c:] * du
+    return top * (1.0 - dv) + bot * dv
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
@@ -95,13 +99,13 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter: int = 10,
     Returns: (p_new (b, n, 2) float, converged (b, n) bool).
     """
     b, h, w, c = rays_with_grad_img.shape
-    flat = rays_with_grad_img.reshape(b, h * w, c)
+    unfolded = _unfold_pairs(rays_with_grad_img)
 
     u0 = jnp.clip(p_init[..., 0], 1.0, w - 2.0)
     v0 = jnp.clip(p_init[..., 1], 1.0, h - 2.0)
 
     def ray_cost(u, v):
-        s = _bilinear_gather(flat, u, v, w, h)
+        s = _bilinear_gather(unfolded, u, v, w, h, c)
         r = _normalize(s[..., 0:3])
         err = r - pts3d_norm
         return s, err, jnp.sum(err * err, axis=-1)
@@ -214,10 +218,14 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
     valid = valid_proj & (dists < dist_thresh)
 
     if radius > 0:
+        from .window_gather import refine_matches_unfold
+
         # half precision for the window search (reference uses fp16,
-        # matching.py:80-86); halves the gather traffic
-        p1i = refine_matches(D11.astype(jnp.bfloat16),
-                             D21.reshape(b, n, -1).astype(jnp.bfloat16),
-                             p1i, radius, dilation_max)
+        # matching.py:80-86); the unfolded layout needs k row gathers per
+        # level instead of k^2 (~2x faster; equality-tested vs
+        # refine_matches)
+        p1i = refine_matches_unfold(D11.astype(jnp.bfloat16),
+                                    D21.reshape(b, n, -1).astype(jnp.bfloat16),
+                                    p1i, radius, dilation_max)
 
     return pixel_to_lin(p1i, w), valid[..., None]

@@ -59,6 +59,75 @@ def gather_dilated_windows(phases, u0, v0, d: int, r: int):
     return jax.vmap(get)(pv, pu, vs, us)
 
 
+@partial(jax.jit, static_argnames=("d", "r"))
+def build_unfolded_phases(img, d: int, r: int):
+    """Phase decimation + u-unfold: U[pv, pu, vv, uu] =
+    concat_j P[pv, pu, vv, uu + j] for j in [0, 2r] — one row of U holds a
+    whole window ROW, so a (2r+1)^2 dilated window needs only 2r+1 row
+    gathers (the fast (1, K) gather path) instead of (2r+1)^2.
+
+    Returns (d, d, H, W - 2r, (2r+1) * c) with H = ceil(h/d) + 2r.
+    """
+    P = build_phase_decimation(img, d, r)          # (d, d, H, W, c)
+    k = 2 * r + 1
+    W = P.shape[3]
+    return jnp.concatenate([P[:, :, :, j:W - 2 * r + j, :]
+                            for j in range(k)], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("d", "r"))
+def gather_dilated_windows_unfold(U, u0, v0, d: int, r: int):
+    """Window fetch via 2r+1 row gathers per point on the unfolded layout.
+
+    U: output of build_unfolded_phases. Returns (n, 2r+1, 2r+1, c).
+    """
+    k = 2 * r + 1
+    dd, _, H, Wu, kc = U.shape
+    c = kc // k
+    flat = U.reshape(-1, kc)
+    pv = v0 % d
+    pu = u0 % d
+    vs = v0 // d
+    us = u0 // d
+    base = ((pv * d + pu) * H + vs) * Wu + us      # row i adds i * Wu
+    rows = base[:, None] + jnp.arange(k, dtype=base.dtype)[None, :] * Wu
+    wnd = jnp.take(flat, rows.reshape(-1), axis=0)
+    return wnd.reshape(-1, k, k, c)
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+def refine_matches_unfold(D11, D21, p1, radius: int = 3,
+                          dilation_max: int = 5):
+    """Drop-in replacement for ops.matching.refine_matches with k row
+    gathers per point per level instead of k^2 (identical results)."""
+    b, h, w, f = D11.shape
+    cdt = jnp.promote_types(D11.dtype, D21.dtype)
+    k = 2 * radius + 1
+
+    def one_image(Dimg, Dq, u0, v0):
+        for d in range(dilation_max, 0, -1):
+            U = build_unfolded_phases(Dimg, d, radius)
+            wnd = gather_dilated_windows_unfold(U, u0, v0, d, radius)
+            offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * d
+            uu = u0[:, None, None] + offs[None, None, :]
+            vv = v0[:, None, None] + offs[None, :, None]
+            inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+            scores = jnp.einsum("nijf,nf->nij", wnd.astype(cdt),
+                                Dq.astype(cdt),
+                                preferred_element_type=jnp.float32)
+            scores = jnp.where(inside, scores, -jnp.inf)
+            best = jnp.argmax(scores.reshape(-1, k * k), axis=-1)
+            bi = best // k
+            bj = best % k
+            u0 = jnp.clip(u0 + (bj - radius) * d, 0, w - 1)
+            v0 = jnp.clip(v0 + (bi - radius) * d, 0, h - 1)
+        return u0, v0
+
+    outs = jax.vmap(one_image)(D11, D21, p1[..., 0].astype(jnp.int32),
+                               p1[..., 1].astype(jnp.int32))
+    return jnp.stack([outs[0], outs[1]], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("radius", "dilation_max"))
 def refine_matches_window(D11, D21, p1, radius: int = 3,
                           dilation_max: int = 5):

@@ -59,3 +59,22 @@ def test_refine_window_equals_row_gather_impl():
         bwin = window_gather.refine_matches_window(D11, D21, p1, radius, dil)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bwin),
                                       err_msg=f"r={radius} d={dil}")
+
+
+def test_refine_unfold_equals_row_gather_impl():
+    key = jax.random.PRNGKey(4)
+    b, h, w, f = 1, 20, 28, 8
+    D11 = jax.random.normal(key, (b, h, w, f))
+    D11 = D11 / jnp.linalg.norm(D11, axis=-1, keepdims=True)
+    n = h * w
+    D21 = jax.random.normal(jax.random.fold_in(key, 1), (b, n, f))
+    D21 = D21 / jnp.linalg.norm(D21, axis=-1, keepdims=True)
+    rng = np.random.default_rng(5)
+    p1 = jnp.asarray(
+        np.stack([rng.integers(1, w - 1, n), rng.integers(1, h - 1, n)], -1)[None],
+        jnp.int32)
+    for radius, dil in [(3, 5), (2, 2), (1, 1)]:
+        a = matching.refine_matches(D11, D21, p1, radius, dil)
+        u = window_gather.refine_matches_unfold(D11, D21, p1, radius, dil)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(u),
+                                      err_msg=f"r={radius} d={dil}")
