@@ -213,3 +213,52 @@ def test_fused_and_step_tracking_agree():
     np.testing.assert_allclose(
         np.asarray(sys_f.keyframes.C[:n]),
         np.asarray(sys_s.keyframes.C[:n]), atol=1e-3)
+
+
+def test_loop_closure_fires_on_revisit():
+    """Deterministic loop closure: a revisited view has identical encoder
+    features -> retrieval must return it and the factor graph must accept
+    the edge (identical pointmaps match perfectly), then global BA runs."""
+    import jax
+
+    from mast3r_slam_tpu import config as config_mod
+    from mast3r_slam_tpu.slam import retrieval as retrieval_mod
+    from mast3r_slam_tpu.slam.system import SLAMSystem
+
+    cfg = dict(config_mod.default_config())
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    h, w = TINY.img_size
+    rparams = retrieval_mod.init_retrieval_params(
+        jax.random.PRNGKey(1), backbone_dim=TINY.enc_embed_dim,
+        proj_dim=32, codebook_size=128)
+    system = SLAMSystem(params, TINY, cfg, (h, w), retrieval_params=rparams,
+                        keyframe_capacity=8, edge_capacity=16)
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.standard_normal((h, w, 3)).astype(np.float32)
+            for _ in range(3)]
+
+    # manually append keyframes A, B, C (C == A revisit)
+    for i, img in enumerate([imgs[0], imgs[1], imgs[0]]):
+        frame = system.make_frame(i, img)
+        from mast3r_slam_tpu.slam.system import _mono_init
+
+        X, C = _mono_init(system.params, TINY, frame.feat[None],
+                          frame.pos[None], 1)
+        frame.update_pointmap(X[0], C[0], "weighted_pointmap")
+        system.keyframes.append(frame)
+        inds = system.retrieval.update(frame.feat, add_after_query=True,
+                                       k=3, min_thresh=0.0)
+        if i == 2:
+            assert 0 in inds, f"revisit not retrieved: {inds}"
+
+    # with random weights the two decoder heads produce unrelated pointmaps,
+    # so the geometric gate would reject any edge; threshold 0 exercises the
+    # edge-append + two-way storage + BA plumbing deterministically (the
+    # retrieval hit above is the meaningful revisit check)
+    ok = system.factor_graph.add_factors([0], [2], min_match_frac=0.0)
+    assert ok
+    assert system.factor_graph.n_edges == 2  # two-way storage
+    system.factor_graph.solve_GN_rays()
+    n = len(system.keyframes)
+    assert np.all(np.isfinite(np.asarray(system.keyframes.T_WC[:n])))
