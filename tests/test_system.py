@@ -262,3 +262,51 @@ def test_loop_closure_fires_on_revisit():
     system.factor_graph.solve_GN_rays()
     n = len(system.keyframes)
     assert np.all(np.isfinite(np.asarray(system.keyframes.T_WC[:n])))
+
+
+def test_threaded_backend_mode():
+    """single_thread: False runs the backend in a host thread concurrently
+    with tracking (donation-safe buffers); results stay finite/consistent."""
+    import jax
+
+    from mast3r_slam_tpu import config as config_mod
+    from mast3r_slam_tpu.slam.frame import Mode
+    from mast3r_slam_tpu.slam.system import SLAMSystem
+
+    cfg = dict(config_mod.default_config())
+    cfg["single_thread"] = False
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    h, w = TINY.img_size
+    system = SLAMSystem(params, TINY, cfg, (h, w), keyframe_capacity=8,
+                        edge_capacity=16)
+    assert not system.single_thread
+
+    ds = _SynthDataset(n=5)
+    ds.img_size = 512
+
+    class _NoResize:
+        """feed frames at model resolution directly"""
+
+    # drive via the public run() loop but with pre-sized frames
+    import types
+
+    def run_small(self, dataset, max_frames=None, progress=False):
+        return SLAMSystem.run(self, dataset, max_frames, progress)
+
+    # monkeypatch resize to identity for the tiny fixture
+    from mast3r_slam_tpu.io import image as image_mod
+
+    orig = image_mod.resize_img
+    image_mod.resize_img = lambda img, size=512, **kw: {
+        "img": (img - img.mean()) / (img.std() + 1e-6),
+        "unnormalized": img,
+        "true_shape": img.shape[:2],
+    }
+    try:
+        stats = system.run(ds, progress=False)
+    finally:
+        image_mod.resize_img = orig
+    assert system.mode == Mode.TERMINATED
+    assert stats["keyframes"] >= 1
+    n = len(system.keyframes)
+    assert np.all(np.isfinite(np.asarray(system.keyframes.T_WC[:n])))
