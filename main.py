@@ -29,6 +29,8 @@ def main(argv=None):
     parser.add_argument("--retrieval-checkpoint", default="")
     parser.add_argument("--codebook", default="")
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--random-retrieval", action="store_true",
+                        help="use a random-init retriever (smoke runs only)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -37,7 +39,6 @@ def main(argv=None):
 
     from mast3r_slam_tpu import config as config_mod
     from mast3r_slam_tpu.io import datasets, export
-    from mast3r_slam_tpu.io.image import resize_img
     from mast3r_slam_tpu.models import MASt3RConfig, convert, init_params
     from mast3r_slam_tpu.slam import retrieval as retrieval_mod
     from mast3r_slam_tpu.slam.system import SLAMSystem
@@ -79,14 +80,17 @@ def main(argv=None):
         print("WARNING: no checkpoint; random weights (smoke/perf mode)")
         params = init_params(jax.random.PRNGKey(args.seed), model_cfg)
 
-    rparams = None
     if args.retrieval_checkpoint:
         rparams = retrieval_mod.convert_retrieval_checkpoint(
             args.retrieval_checkpoint, args.codebook or None)
-    else:
+    elif args.random_retrieval:
+        # smoke/pipeline-exercise mode only: a random retriever produces
+        # spurious loop-closure candidates
         rparams = retrieval_mod.init_retrieval_params(
             jax.random.PRNGKey(args.seed + 1),
             backbone_dim=model_cfg.enc_embed_dim)
+    else:
+        rparams = None   # retrieval/loop closure disabled
 
     K = None
     if use_calib:
@@ -103,7 +107,8 @@ def main(argv=None):
     t0 = time.time()
     stats = system.run(dataset, max_frames=args.max_frames, progress=True)
     elapsed = time.time() - t0
-    n = args.max_frames or len(dataset)
+    n = len(dataset) if args.max_frames is None else min(args.max_frames,
+                                                         len(dataset))
     print(f"done: {n} frames in {elapsed:.1f}s = {n / elapsed:.2f} FPS")
     print(f"stats: {stats}")
 
@@ -118,6 +123,18 @@ def main(argv=None):
                                    system.keyframes, 1.5)
         export.save_keyframes(save_dir / "keyframes" / seq_name,
                               dataset.timestamps, system.keyframes)
+        if not args.no_viz:
+            # headless stand-in for the reference's GL viewer: offline
+            # renders of the trajectory / reconstruction / keyframes
+            from mast3r_slam_tpu import viz
+
+            viz.plot_trajectory(system.keyframes,
+                                save_dir / f"{seq_name}_traj.png")
+            viz.render_pointcloud(system.keyframes,
+                                  save_dir / f"{seq_name}_cloud.png",
+                                  factor_graph=system.factor_graph)
+            viz.keyframe_mosaic(system.keyframes,
+                                save_dir / f"{seq_name}_keyframes.png")
         print(f"saved results under {save_dir}")
 
 
