@@ -31,6 +31,8 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--random-retrieval", action="store_true",
                         help="use a random-init retriever (smoke runs only)")
+    parser.add_argument("--profile-dir", default="",
+                        help="capture a jax.profiler trace to this directory")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -105,7 +107,14 @@ def main(argv=None):
                         retrieval_params=rparams, K=K)
 
     t0 = time.time()
-    stats = system.run(dataset, max_frames=args.max_frames, progress=True)
+    if args.profile_dir:
+        from mast3r_slam_tpu.utils.timing import ProfilerTrace
+
+        with ProfilerTrace(args.profile_dir):
+            stats = system.run(dataset, max_frames=args.max_frames,
+                               progress=True)
+    else:
+        stats = system.run(dataset, max_frames=args.max_frames, progress=True)
     elapsed = time.time() - t0
     n = len(dataset) if args.max_frames is None else min(args.max_frames,
                                                          len(dataset))

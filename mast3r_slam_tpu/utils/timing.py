@@ -72,3 +72,26 @@ def tic(name: str = "default"):
 
 def toc(name: str = "default"):
     return _GLOBAL.toc(name)
+
+
+class ProfilerTrace:
+    """jax.profiler trace capture (SURVEY §5.1: TPU-side tracing).
+
+    Usage: ``with ProfilerTrace("/tmp/trace"):`` or via main.py
+    ``--profile-dir``. View with TensorBoard or xprof.
+    """
+
+    def __init__(self, logdir):
+        self.logdir = str(logdir)
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False
