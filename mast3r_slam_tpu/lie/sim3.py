@@ -229,7 +229,8 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
 
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
     small = theta_sq < _EPS * _EPS
-    theta = jnp.sqrt(jnp.where(small, 0.0, theta_sq))
+    # sentinel-inside-sqrt keeps reverse-mode gradients finite at theta=0
+    theta = jnp.where(small, 0.0, jnp.sqrt(jnp.where(small, 1.0, theta_sq)))
 
     A, B, C = _w_coefficients(theta_sq, theta, sigma, scale)
 
@@ -247,7 +248,7 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
 
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
     small = theta_sq < _EPS * _EPS
-    theta = jnp.sqrt(jnp.where(small, 0.0, theta_sq))
+    theta = jnp.where(small, 0.0, jnp.sqrt(jnp.where(small, 1.0, theta_sq)))
     A, B, C = _w_coefficients(theta_sq, theta, sigma, jnp.exp(sigma))
 
     Phi = skew(phi)

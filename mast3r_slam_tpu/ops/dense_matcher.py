@@ -85,9 +85,7 @@ def match_dense(X11, X21, D11, D21, stride: int = 4, fine_radius: int = 3,
 
     # 2) short geometric LM polish from the coarse match
     rays_grad = matching.prep_rays_grad(X11)
-    pts3d_norm = X21.reshape(b, n, 3)
-    pts3d_norm = pts3d_norm / jnp.maximum(
-        jnp.linalg.norm(pts3d_norm, axis=-1, keepdims=True), 1e-12)
+    pts3d_norm = matching._normalize(X21.reshape(b, n, 3))
     p_init = matching.lin_to_pixel(idx_c, w).astype(X11.dtype)
     p1, valid_proj = matching.iter_proj(rays_grad, pts3d_norm, p_init,
                                         lm_iters, lambda_init,
@@ -101,9 +99,11 @@ def match_dense(X11, X21, D11, D21, stride: int = 4, fine_radius: int = 3,
     dists = jnp.linalg.norm(X11_at - X21.reshape(b, n, 3), axis=-1)
     valid = valid_proj & (dists < dist_thresh)
 
-    # 4) one fine descriptor window pass
+    # 4) one fine descriptor window pass (unfolded fast path)
     if fine_radius > 0:
-        p1i = matching.refine_matches(
+        from .window_gather import refine_matches_unfold
+
+        p1i = refine_matches_unfold(
             D11.astype(jnp.bfloat16),
             D21.reshape(b, n, -1).astype(jnp.bfloat16), p1i,
             fine_radius, fine_dilation)

@@ -64,23 +64,24 @@ def _gather_points(Xs, Cs, ii, idx):
     return Xi, Ci
 
 
-def _edge_terms_rays(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
-                     cfg: BAConfig):
-    """Per-edge H blocks and gradients for the ray+dist residual.
+def _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
+                cfg: BAConfig, residual_fn, n_rows: int):
+    """Shared per-edge Hessian/gradient driver.
 
-    Returns Hs (E, 14, 14) [layout: rows/cols 0:7 = pose i, 7:14 = pose j]
-    and gs (E, 14).
+    Scans point chunks; per chunk ``residual_fn(Tij, Xj_c, Xi_c, safe_idx)``
+    returns (err (E, C, r), J_theta (E, C, r, 7) w.r.t. the relative-pose
+    perturbation, sqrt_w_rows (E, C, r) per-row 1/sigma weights, extra_valid
+    (E, C)). The driver applies the confidence gates, the inverse-adjoint
+    map to per-pose Jacobians (gn_kernels.cu apply_Sim3_adj_inv) and the
+    Huber IRLS weights, and contracts to (E, 14, 14) blocks + (E, 14)
+    gradients with MXU matmuls.
     """
     E, P = idx.shape
-    Ti = T_WCs[ii]                               # (E, 8)
+    Ti = T_WCs[ii]
     Tj = T_WCs[jj]
     Tij = sim3.rel(Ti, Tj)
-
-    Cj_all = Cs[jj]                              # (E, P)
-    Xj_all = Xs[jj]                              # (E, P, 3)
-
-    sigma_ray_inv = 1.0 / cfg.sigma_ray
-    sigma_dist_inv = 1.0 / cfg.sigma_dist
+    Cj_all = Cs[jj]
+    Xj_all = Xs[jj]
 
     C = min(cfg.point_chunk, P)
     n_chunks = -(-P // C)
@@ -100,36 +101,30 @@ def _edge_terms_rays(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
 
     def chunk(carry, inputs):
         H_acc, g_acc = carry
-        idx_c, vm_c, Q_c, Xj_c, Cj_c = inputs     # (E, C, ...)
+        idx_c, vm_c, Q_c, Xj_c, Cj_c = inputs
         safe_idx = jnp.where(vm_c, idx_c, 0)
         Xi_c, Ci_c = _gather_points(Xs, Cs, ii, safe_idx)
 
-        rd_i = geometry.point_to_ray_dist(Xi_c)                 # (E, C, 4)
-        Xj_Ci = geometry.act_Sim3(Tij[:, None, :], Xj_c)
-        rd_j = geometry.point_to_ray_dist(Xj_Ci)
+        err, J_theta, sqrt_w_rows, extra_valid = residual_fn(
+            Tij, Xj_c, Xi_c, safe_idx)
 
-        err = rd_j - rd_i                                        # (E, C, 4)
-        J_theta = geometry.ray_dist_pose_jacobian(Xj_Ci)         # (E, C, 4, 7)
-        # row-covector adjoint: d err / d xi_j; d err / d xi_i = -Jj
         Jj = sim3.apply_adj_inv_T(Ti[:, None, None, :], J_theta)
-        J = jnp.concatenate([-Jj, Jj], axis=-1)                  # (E, C, 4, 14)
+        J = jnp.concatenate([-Jj, Jj], axis=-1)          # (E, C, r, 14)
 
         valid = (
             vm_c
             & (Q_c > cfg.Q_conf)
             & (Ci_c > cfg.C_conf)
             & (Cj_c > cfg.C_conf)
+            & extra_valid
         )
-        sqrt_w_ray = jnp.where(valid, sigma_ray_inv * jnp.sqrt(Q_c), 0.0)
-        sqrt_w_dist = jnp.where(valid, sigma_dist_inv * jnp.sqrt(Q_c), 0.0)
-        sqrt_w = jnp.stack(
-            [sqrt_w_ray, sqrt_w_ray, sqrt_w_ray, sqrt_w_dist], axis=-1
-        )                                                        # (E, C, 4)
+        sqrt_w = jnp.where(valid[..., None],
+                           sqrt_w_rows * jnp.sqrt(Q_c)[..., None], 0.0)
         w = robust.huber(sqrt_w * err) * sqrt_w * sqrt_w
         w = w * edge_mask[:, None, None]
 
-        wJ = (w[..., None] * J).reshape(E, C * 4, 14)
-        Jf = J.reshape(E, C * 4, 14)
+        wJ = (w[..., None] * J).reshape(E, C * n_rows, 14)
+        Jf = J.reshape(E, C * n_rows, 14)
         H_acc = H_acc + jnp.einsum(
             "eck,ecl->ekl", wJ, Jf, preferred_element_type=jnp.float32
         )
@@ -150,117 +145,54 @@ def _edge_terms_rays(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
     return H, g
 
 
+def _edge_terms_rays(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
+                     cfg: BAConfig):
+    """Ray+dist residual (spec: ray_align_kernel). H layout: rows/cols
+    0:7 = pose i, 7:14 = pose j."""
+    sigma = jnp.array([1.0 / cfg.sigma_ray] * 3 + [1.0 / cfg.sigma_dist])
+
+    def residual(Tij, Xj_c, Xi_c, safe_idx):
+        rd_i = geometry.point_to_ray_dist(Xi_c)
+        Xj_Ci = geometry.act_Sim3(Tij[:, None, :], Xj_c)
+        rd_j = geometry.point_to_ray_dist(Xj_Ci)
+        err = rd_j - rd_i
+        J_theta = geometry.ray_dist_pose_jacobian(Xj_Ci)
+        ones = jnp.ones(Xj_c.shape[:-1], bool)
+        return err, J_theta, sigma, ones
+
+    return _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
+                       cfg, residual, n_rows=4)
+
+
 def _edge_terms_points(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
                        cfg: BAConfig):
-    """Per-edge H/g for the 3D point-difference residual
-    (spec: point_align_kernel, gn_kernels.cu:455-723 — exported by the
-    reference backend though unused by its driver)."""
-    E, P = idx.shape
-    Ti = T_WCs[ii]
-    Tj = T_WCs[jj]
-    Tij = sim3.rel(Ti, Tj)
-    Cj_all = Cs[jj]
-    Xj_all = Xs[jj]
-    sigma_point_inv = 1.0 / cfg.sigma_point
+    """3D point-difference residual (spec: point_align_kernel,
+    gn_kernels.cu:455-723 — exported by the reference backend though unused
+    by its driver)."""
+    sigma = jnp.full((3,), 1.0 / cfg.sigma_point)
 
-    C = min(cfg.point_chunk, P)
-    n_chunks = -(-P // C)
-    pad = n_chunks * C - P
-
-    def pad_pts(x, fill=0):
-        if pad == 0:
-            return x
-        cfgpad = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
-        return jnp.pad(x, cfgpad, constant_values=fill)
-
-    idx_p = pad_pts(idx).reshape(E, n_chunks, C)
-    vm_p = pad_pts(valid_match).reshape(E, n_chunks, C)
-    Q_p = pad_pts(Q).reshape(E, n_chunks, C)
-    Xj_p = pad_pts(Xj_all).reshape(E, n_chunks, C, 3)
-    Cj_p = pad_pts(Cj_all).reshape(E, n_chunks, C)
-
-    def chunk(carry, inputs):
-        H_acc, g_acc = carry
-        idx_c, vm_c, Q_c, Xj_c, Cj_c = inputs
-        safe_idx = jnp.where(vm_c, idx_c, 0)
-        Xi_c, Ci_c = _gather_points(Xs, Cs, ii, safe_idx)
-
+    def residual(Tij, Xj_c, Xi_c, safe_idx):
         Xj_Ci = geometry.act_Sim3(Tij[:, None, :], Xj_c)
-        err = Xj_Ci - Xi_c                                      # (E, C, 3)
-        # d(Tij Xj)/d(xi) = [I, -skew(P), P]
+        err = Xj_Ci - Xi_c
         I = jnp.broadcast_to(jnp.eye(3), Xj_Ci.shape[:-1] + (3, 3))
         J_theta = jnp.concatenate(
             [I, -sim3.skew(Xj_Ci), Xj_Ci[..., :, None]], axis=-1)
-        Jj = sim3.apply_adj_inv_T(Ti[:, None, None, :], J_theta)
-        J = jnp.concatenate([-Jj, Jj], axis=-1)
+        ones = jnp.ones(Xj_c.shape[:-1], bool)
+        return err, J_theta, sigma, ones
 
-        valid = (
-            vm_c & (Q_c > cfg.Q_conf) & (Ci_c > cfg.C_conf)
-            & (Cj_c > cfg.C_conf)
-        )
-        sqrt_w = jnp.where(valid, sigma_point_inv * jnp.sqrt(Q_c), 0.0)
-        sqrt_w = jnp.repeat(sqrt_w[..., None], 3, axis=-1)
-        w_ = robust.huber(sqrt_w * err) * sqrt_w * sqrt_w
-        w_ = w_ * edge_mask[:, None, None]
-
-        wJ = (w_[..., None] * J).reshape(E, C * 3, 14)
-        Jf = J.reshape(E, C * 3, 14)
-        H_acc = H_acc + jnp.einsum("eck,ecl->ekl", wJ, Jf,
-                                   preferred_element_type=jnp.float32)
-        g_acc = g_acc + jnp.einsum("ecr,ecr,ecrk->ek", w_, err, J,
-                                   preferred_element_type=jnp.float32)
-        return (H_acc, g_acc), None
-
-    init = (jnp.zeros((E, 14, 14)), jnp.zeros((E, 14)))
-    inputs = (
-        idx_p.transpose(1, 0, 2), vm_p.transpose(1, 0, 2),
-        Q_p.transpose(1, 0, 2), Xj_p.transpose(1, 0, 2, 3),
-        Cj_p.transpose(1, 0, 2),
-    )
-    (H, g), _ = jax.lax.scan(chunk, init, inputs)
-    return H, g
+    return _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
+                       cfg, residual, n_rows=3)
 
 
 def _edge_terms_calib(T_WCs, Xs, Cs, K_mat, ii, jj, idx, valid_match, Q,
                       edge_mask, img_size, cfg: BAConfig):
-    """Per-edge H/g for the pixel + log-depth residual (calib_proj_kernel)."""
-    E, P = idx.shape
+    """Pixel + log-depth residual (spec: calib_proj_kernel)."""
     h, w = img_size
-    Ti = T_WCs[ii]
-    Tj = T_WCs[jj]
-    Tij = sim3.rel(Ti, Tj)
+    sigma = jnp.array([1.0 / cfg.sigma_pixel] * 2 + [1.0 / cfg.sigma_depth])
 
-    Cj_all = Cs[jj]
-    Xj_all = Xs[jj]
-
-    sigma_pixel_inv = 1.0 / cfg.sigma_pixel
-    sigma_depth_inv = 1.0 / cfg.sigma_depth
-
-    C = min(cfg.point_chunk, P)
-    n_chunks = -(-P // C)
-    pad = n_chunks * C - P
-
-    def pad_pts(x, fill=0):
-        if pad == 0:
-            return x
-        cfgpad = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
-        return jnp.pad(x, cfgpad, constant_values=fill)
-
-    idx_p = pad_pts(idx).reshape(E, n_chunks, C)
-    vm_p = pad_pts(valid_match).reshape(E, n_chunks, C)
-    Q_p = pad_pts(Q).reshape(E, n_chunks, C)
-    Xj_p = pad_pts(Xj_all).reshape(E, n_chunks, C, 3)
-    Cj_p = pad_pts(Cj_all).reshape(E, n_chunks, C)
-
-    def chunk(carry, inputs):
-        H_acc, g_acc = carry
-        idx_c, vm_c, Q_c, Xj_c, Cj_c = inputs
-        safe_idx = jnp.where(vm_c, idx_c, 0)
-        Xi_c, Ci_c = _gather_points(Xs, Cs, ii, safe_idx)
-
+    def residual(Tij, Xj_c, Xi_c, safe_idx):
         u_t = (safe_idx % w).astype(Xj_c.dtype)
         v_t = (safe_idx // w).astype(Xj_c.dtype)
-
         Xj_Ci = geometry.act_Sim3(Tij[:, None, :], Xj_c)
         pz, valid_proj = geometry.project_calib(
             Xj_Ci, K_mat, img_size, border=cfg.pixel_border,
@@ -268,48 +200,15 @@ def _edge_terms_calib(T_WCs, Xs, Cs, K_mat, ii, jj, idx, valid_match, Q,
         )
         zi = Xi_c[..., 2]
         valid_zi = zi > cfg.depth_eps
-        log_zi = jnp.where(valid_zi, jnp.log(jnp.where(valid_zi, zi, 1.0)), 0.0)
-
-        err = pz - jnp.stack([u_t, v_t, log_zi], axis=-1)        # (E, C, 3)
+        log_zi = jnp.where(valid_zi,
+                           jnp.log(jnp.where(valid_zi, zi, 1.0)), 0.0)
+        err = pz - jnp.stack([u_t, v_t, log_zi], axis=-1)
         J_theta = geometry.calib_pose_jacobian(Xj_Ci, K_mat,
                                                z_eps=cfg.depth_eps)
-        Jj = sim3.apply_adj_inv_T(Ti[:, None, None, :], J_theta)
-        J = jnp.concatenate([-Jj, Jj], axis=-1)                  # (E, C, 3, 14)
+        return err, J_theta, sigma, valid_proj[..., 0] & valid_zi
 
-        valid = (
-            vm_c
-            & (Q_c > cfg.Q_conf)
-            & (Ci_c > cfg.C_conf)
-            & (Cj_c > cfg.C_conf)
-            & valid_proj[..., 0]
-            & valid_zi
-        )
-        sqrt_w_pix = jnp.where(valid, sigma_pixel_inv * jnp.sqrt(Q_c), 0.0)
-        sqrt_w_dep = jnp.where(valid, sigma_depth_inv * jnp.sqrt(Q_c), 0.0)
-        sqrt_w = jnp.stack([sqrt_w_pix, sqrt_w_pix, sqrt_w_dep], axis=-1)
-        w_ = robust.huber(sqrt_w * err) * sqrt_w * sqrt_w
-        w_ = w_ * edge_mask[:, None, None]
-
-        wJ = (w_[..., None] * J).reshape(E, C * 3, 14)
-        Jf = J.reshape(E, C * 3, 14)
-        H_acc = H_acc + jnp.einsum(
-            "eck,ecl->ekl", wJ, Jf, preferred_element_type=jnp.float32
-        )
-        g_acc = g_acc + jnp.einsum(
-            "ecr,ecr,ecrk->ek", w_, err, J, preferred_element_type=jnp.float32
-        )
-        return (H_acc, g_acc), None
-
-    init = (jnp.zeros((E, 14, 14)), jnp.zeros((E, 14)))
-    inputs = (
-        idx_p.transpose(1, 0, 2),
-        vm_p.transpose(1, 0, 2),
-        Q_p.transpose(1, 0, 2),
-        Xj_p.transpose(1, 0, 2, 3),
-        Cj_p.transpose(1, 0, 2),
-    )
-    (H, g), _ = jax.lax.scan(chunk, init, inputs)
-    return H, g
+    return _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
+                       cfg, residual, n_rows=3)
 
 
 def _assemble(H_edges, g_edges, ii, jj, n_kf, K_cap, pin):

@@ -4,7 +4,9 @@ The reference cannot resume a run (SURVEY.md §5.4 — weights-only loading,
 results written once at termination). Here the entire runtime state —
 keyframe store, factor-graph edges, retrieval inverted file, mode/counters —
 is a flat pytree of arrays, so checkpointing is a single compressed npz and
-resume is exact.
+resume is state-exact (keyframes, edges, fusion state, match warm start,
+current pose; the retrieval inverted file is rebuilt deterministically from
+the stored keyframe features).
 """
 
 from __future__ import annotations
@@ -25,6 +27,8 @@ def save_state(path, system):
         "kf_X": np.asarray(kf.X),
         "kf_C": np.asarray(kf.C),
         "kf_N": np.asarray(kf.N),
+        "kf_N_updates": np.asarray(kf.N_updates),
+        "kf_score": np.asarray(kf.score),
         "kf_feat": np.asarray(kf.feat.astype(np.float32)
                               if kf.feat.dtype != np.float32 else kf.feat),
         "kf_pos": np.asarray(kf.pos),
@@ -41,6 +45,10 @@ def save_state(path, system):
     if system.retrieval is not None:
         arrays["retrieval_kf_counter"] = np.asarray(
             system.retrieval.kf_counter)
+    if system.tracker.idx_f2k is not None:
+        arrays["tracker_idx_f2k"] = np.asarray(system.tracker.idx_f2k)
+    if system.current_frame is not None:
+        arrays["current_T_WC"] = np.asarray(system.current_frame.T_WC)
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, **arrays)
@@ -62,6 +70,10 @@ def load_state(path, system):
     kf.X = jnp.asarray(data["kf_X"])
     kf.C = jnp.asarray(data["kf_C"])
     kf.N = jnp.asarray(data["kf_N"])
+    if "kf_N_updates" in data:
+        kf.N_updates = jnp.asarray(data["kf_N_updates"])
+    if "kf_score" in data:
+        kf.score = jnp.asarray(data["kf_score"])
     kf.feat = jnp.asarray(data["kf_feat"]).astype(kf.feat.dtype)
     kf.pos = jnp.asarray(data["kf_pos"])
     kf.uimg[: kf.n_size] = data["kf_uimg"]
@@ -79,7 +91,13 @@ def load_state(path, system):
         n = int(data["retrieval_kf_counter"])
         for i in range(min(n, kf.n_size)):
             system.retrieval.update(kf.get_frame(i).feat,
-                                    add_after_query=False, k=1)
-            system.retrieval.update(kf.get_frame(i).feat,
                                     add_after_query=True, k=1)
+    if "tracker_idx_f2k" in data:
+        system.tracker.idx_f2k = jnp.asarray(data["tracker_idx_f2k"])
+    if "current_T_WC" in data and system.current_frame is None:
+        from .frame import Frame
+
+        system.current_frame = Frame(
+            frame_id=-1, img=None, uimg=None,
+            T_WC=jnp.asarray(data["current_T_WC"]))
     return system

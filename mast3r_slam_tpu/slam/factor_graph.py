@@ -168,11 +168,14 @@ class FactorGraph:
     def _append_edge(self, i, j, idx, valid, Q):
         e = self.n_edges
         assert e < self.cfg.edge_capacity, "edge buffer full"
-        self.ii = self.ii.at[e].set(i)
-        self.jj = self.jj.at[e].set(j)
-        self.idx_ii2jj = self.idx_ii2jj.at[e].set(idx)
-        self.valid_match = self.valid_match.at[e].set(valid)
-        self.Q = self.Q.at[e].set(Q)
+        # donated (in-place when safe) row writes: eager .at[].set would copy
+        # the whole (E_cap, P) buffers per append
+        sr = self.frames._set_row
+        self.ii = sr(self.ii, e, jnp.asarray(i, jnp.int32))
+        self.jj = sr(self.jj, e, jnp.asarray(j, jnp.int32))
+        self.idx_ii2jj = sr(self.idx_ii2jj, e, idx)
+        self.valid_match = sr(self.valid_match, e, valid)
+        self.Q = sr(self.Q, e, Q)
         self.n_edges = e + 1
 
     @property

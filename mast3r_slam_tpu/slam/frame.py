@@ -35,12 +35,14 @@ class Mode(enum.Enum):
 @partial(jax.jit, static_argnames=("mode", "score_fn"),
          donate_argnums=(1, 2))
 def fuse_pointmap(mode: str, X_old, C_old, N_old, X_new, C_new,
-                  score_old=None, score_fn: str = "median"):
+                  score_old=None, score_fn: str = "median", n_updates=None):
     """One fusion step; returns (X, C, N[, score]). Spec: frame.py:41-105.
 
     ``N`` is the accumulation count used by get_average_conf (C is a running
     sum in the weighted modes, as in the reference). ``best_score`` keeps the
-    map whose median/mean confidence is highest (frame.py:33-38, 62-68).
+    map whose median/mean confidence is highest (frame.py:33-38, 62-68);
+    ``first`` keeps the first post-registration update (replaces while
+    ``n_updates == 1``, frame.py:52-57).
     """
     if mode == "best_score":
         new_score = (jnp.median(C_new) if score_fn == "median"
@@ -51,7 +53,10 @@ def fuse_pointmap(mode: str, X_old, C_old, N_old, X_new, C_new,
         score = jnp.where(take, new_score, score_old)
         return X, C, jnp.ones_like(N_old), score
     if mode == "first":
-        return X_old, C_old, N_old
+        take = n_updates == 1
+        X = jnp.where(take, X_new, X_old)
+        C = jnp.where(take, C_new, C_old)
+        return X, C, jnp.ones_like(N_old)
     if mode == "recent":
         return X_new, C_new, jnp.ones_like(N_old)
     if mode == "indep_conf":
@@ -95,6 +100,7 @@ class Frame:
     feat: Optional[jnp.ndarray] = None      # (n, enc_dim)
     pos: Optional[jnp.ndarray] = None       # (n, 2)
     N: int = 0
+    N_updates: int = 0
     K: Optional[jnp.ndarray] = None
     score: Optional[jnp.ndarray] = None     # best_score filtering state
 
@@ -105,6 +111,7 @@ class Frame:
     def update_pointmap(self, X, C, mode: str, score_fn: str = "median"):
         if self.N == 0:
             self.X_canon, self.C, self.N = X, C, 1
+            self.N_updates = 1
             if mode == "best_score":
                 self.score = (jnp.median(C) if score_fn == "median"
                               else jnp.mean(C))
@@ -115,9 +122,11 @@ class Frame:
                 X, C, self.score, score_fn)
             self.score = score
         else:
-            Xn, Cn, Nn = fuse_pointmap(mode, self.X_canon, self.C,
-                                       jnp.asarray(self.N, jnp.int32), X, C)
+            Xn, Cn, Nn = fuse_pointmap(
+                mode, self.X_canon, self.C, jnp.asarray(self.N, jnp.int32),
+                X, C, n_updates=jnp.asarray(self.N_updates, jnp.int32))
         self.X_canon, self.C, self.N = Xn, Cn, int(Nn)
+        self.N_updates += 1
 
     def get_average_conf(self):
         return self.C / self.N if self.C is not None else None
@@ -167,6 +176,7 @@ class KeyframeStore:
         self.X = z((capacity, num_points, 3), dtype)
         self.C = z((capacity, num_points), dtype)
         self.N = z((capacity,), jnp.int32)
+        self.N_updates = z((capacity,), jnp.int32)
         self.feat = z((capacity, num_patches, feat_dim), feat_dtype)
         self.pos = z((capacity, num_patches, 2), jnp.int32)
         self.score = z((capacity,), dtype)   # best_score filtering state
@@ -195,6 +205,8 @@ class KeyframeStore:
         self.X = sr(self.X, idx, frame.X_canon)
         self.C = sr(self.C, idx, frame.C[..., 0])
         self.N = sr(self.N, idx, jnp.asarray(frame.N, jnp.int32))
+        self.N_updates = sr(self.N_updates, idx,
+                            jnp.asarray(frame.N_updates, jnp.int32))
         self.feat = sr(self.feat, idx, frame.feat.astype(self.feat.dtype))
         self.pos = sr(self.pos, idx, frame.pos)
         if frame.score is not None:
@@ -216,6 +228,7 @@ class KeyframeStore:
             feat=self.feat[idx],
             pos=self.pos[idx],
             N=int(self.N[idx]),
+            N_updates=int(self.N_updates[idx]),
             K=self.K,
             score=self.score[idx],
         )

@@ -86,9 +86,9 @@ def _track_gate(idx_f2k, valid_match_k, Qff, Qkf, Cf_avg, Ck_avg, C_conf,
 @partial(jax.jit, static_argnames=("cfg", "mcfg", "tcfg", "ds", "fuse_mode",
                                    "score_fn", "use_calib", "img_size"))
 def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
-                       idx_init, kf_X, kf_C, kf_N, kf_score, kf_T_WC,
-                       frame_T_WC, K, ds: int, fuse_mode: str, score_fn: str,
-                       use_calib: bool, img_size):
+                       idx_init, kf_X, kf_C, kf_N, kf_N_updates, kf_score,
+                       kf_T_WC, frame_T_WC, K, ds: int, fuse_mode: str,
+                       score_fn: str, use_calib: bool, img_size):
     """Whole tracking step as ONE compiled program.
 
     Inference + matching + gating + Sim(3) GN + masked pointmap fusion and
@@ -142,18 +142,26 @@ def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
             score_fn)
     else:
         Xn, Cn, Nn = fuse_pointmap(fuse_mode, kf_X, kf_C[:, None], kf_N,
-                                   Xkk, Ckf)
+                                   Xkk, Ckf, n_updates=kf_N_updates)
         score_n = kf_score
     kf_X_new = jnp.where(ok, Xn, kf_X)
     kf_C_new = jnp.where(ok, Cn[:, 0], kf_C)
     kf_N_new = jnp.where(ok, Nn, kf_N)
+    kf_NU_new = jnp.where(ok, kf_N_updates + 1, kf_N_updates)
     kf_score_new = jnp.where(ok, score_n, kf_score)
+
+    # best_score state for the fresh frame (promoted on keyframing)
+    if fuse_mode == "best_score":
+        frame_score = (jnp.median(Cff) if score_fn == "median"
+                       else jnp.mean(Cff))
+    else:
+        frame_score = jnp.zeros(())
 
     stats = jnp.stack([stats3[0], stats3[1], stats3[2],
                        skip.astype(jnp.float32),
                        res.failed.astype(jnp.float32)])
     return (idx_f2k, T_WCf, Xff, Cff, kf_X_new, kf_C_new, kf_N_new,
-            kf_score_new, stats)
+            kf_NU_new, kf_score_new, frame_score, stats)
 
 
 class TrackerRunner:
@@ -197,14 +205,15 @@ class TrackerRunner:
         idx_init = self.idx_f2k
         K = self.K if self.K is not None else jnp.eye(3)
         row = _get_row_jit
-        (idx_f2k, T_WCf, Xff, Cff, kf_X, kf_C, kf_N, kf_score,
-         stats) = _track_frame_fused(
+        (idx_f2k, T_WCf, Xff, Cff, kf_X, kf_C, kf_N, kf_NU, kf_score,
+         frame_score, stats) = _track_frame_fused(
             self.params, self.model_cfg, self.mcfg, self.tcfg,
             frame.feat[None], frame.pos[None],
             row(kfs.feat, last)[None], row(kfs.pos, last)[None],
             idx_init[None] if idx_init is not None else None,
             row(kfs.X, last), row(kfs.C, last), row(kfs.N, last),
-            row(kfs.score, last), row(kfs.T_WC, last), frame.T_WC, K,
+            row(kfs.N_updates, last), row(kfs.score, last),
+            row(kfs.T_WC, last), frame.T_WC, K,
             self.downsample, self.filtering_mode, self.filtering_score,
             self.use_calib, (kfs.h, kfs.w))
 
@@ -214,6 +223,9 @@ class TrackerRunner:
                            "match_frac_k": float(st[1]),
                            "unique_frac": float(st[2])}
         frame.X_canon, frame.C, frame.N = Xff, Cff, 1
+        frame.N_updates = 1
+        if self.filtering_mode == "best_score":
+            frame.score = frame_score
 
         if st[3] > 0.5:
             print(f"Skipped frame {frame.frame_id}")
@@ -227,6 +239,7 @@ class TrackerRunner:
         kfs.X = sr(kfs.X, last, kf_X)
         kfs.C = sr(kfs.C, last, kf_C)
         kfs.N = sr(kfs.N, last, kf_N)
+        kfs.N_updates = sr(kfs.N_updates, last, kf_NU)
         kfs.score = sr(kfs.score, last, kf_score)
 
         new_kf = min(st[1], st[2]) < self.tcfg.match_frac_thresh

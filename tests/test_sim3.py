@@ -110,3 +110,15 @@ def test_jit_vmap():
     f = jax.jit(jax.vmap(sim3.act))
     Y = f(T, X)
     assert Y.shape == (4, 10, 3)
+
+
+def test_exp_log_gradients_finite_at_small_angles():
+    """grad through exp/log must stay finite near theta=0 / sigma=0 (the
+    module's jit/vmap/grad contract)."""
+    for eps in [0.0, 1e-9, 1e-6]:
+        xi = jnp.array([0.1, -0.2, 0.3, eps, -eps, eps, eps])
+        g = jax.grad(lambda x: jnp.sum(sim3.exp(x) ** 2))(xi)
+        assert np.all(np.isfinite(np.asarray(g))), (eps, np.asarray(g))
+        T = sim3.exp(jnp.array([0.1, -0.2, 0.3, 0.2, 0.1, -0.1, 0.05]))
+        g2 = jax.grad(lambda t: jnp.sum(sim3.log(t) ** 2))(T)
+        assert np.all(np.isfinite(np.asarray(g2)))
