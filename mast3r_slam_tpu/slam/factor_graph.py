@@ -34,16 +34,19 @@ class FactorGraphConfig(NamedTuple):
                                 # faster per edge)
 
 
-@partial(jax.jit, static_argnames=("cfg", "mcfg", "ds", "matcher"))
+@partial(jax.jit, static_argnames=("cfg", "mcfg", "ds", "matcher",
+                                   "model_mod"))
 def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
-                           ds: int = 1, matcher: str = "iter_proj"):
+                           ds: int = 1, matcher: str = "iter_proj",
+                           model_mod=mast3r):
     """Decode + match both directions of a batch of candidate edges.
 
     Returns per-edge match arrays mirroring mast3r_match_symmetric
     (mast3r_utils.py:142-180): idx_i2j, idx_j2i (b, P) int32; valid_match_j,
     valid_match_i (b, P, 1); Qii/Qjj/Qji/Qij (b, P).
     """
-    out = mast3r.inference_symmetric(params, feat_i, pos_i, feat_j, pos_j, cfg)
+    out = model_mod.inference_symmetric(params, feat_i, pos_i, feat_j,
+                                        pos_j, cfg)
     if ds > 1:
         out = {k: mast3r.downsample_maps(v, ds=ds)[0] for k, v in out.items()}
     b = feat_i.shape[0]
@@ -91,8 +94,10 @@ class FactorGraph:
 
     def __init__(self, params, model_cfg, keyframes: KeyframeStore,
                  cfg: FactorGraphConfig, ba_cfg: ba.BAConfig,
-                 mcfg: MatchingConfig, K=None, downsample: int = 1):
+                 mcfg: MatchingConfig, K=None, downsample: int = 1,
+                 model_module=mast3r):
         self.downsample = downsample
+        self.model_mod = model_module
         self.params = params
         self.model_cfg = model_cfg
         self.frames = keyframes
@@ -124,7 +129,8 @@ class FactorGraph:
 
         m = _match_edges_symmetric(self.params, self.model_cfg, self.mcfg,
                                    feat_i, pos_i, feat_j, pos_j,
-                                   self.downsample, self.cfg.matcher)
+                                   self.downsample, self.cfg.matcher,
+                                   self.model_mod)
 
         b, P = m["idx_i2j"].shape
         # paired desc-confidences (global_opt.py:55-58)

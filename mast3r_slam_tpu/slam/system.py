@@ -31,17 +31,17 @@ from .frame import Frame, KeyframeStore, Mode, _get_row_jit
 from .retrieval import RetrievalConfig, RetrievalDatabase
 
 
-@partial(jax.jit, static_argnames=("cfg", "mcfg", "ds"))
+@partial(jax.jit, static_argnames=("cfg", "mcfg", "ds", "model_mod"))
 def _track_match(params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init,
-                 ds: int = 1):
+                 ds: int = 1, model_mod=mast3r):
     """Asymmetric two-view inference + frame->keyframe matching.
 
     Spec: mast3r_match_asymmetric (mast3r_utils.py:209-231); predictions are
     subsampled by ``ds`` before matching (img_downsample config). Returns
     flat (n, ...) arrays: idx_f2k, valid, Xff, Cff, Qff, Xkf, Ckf, Qkf.
     """
-    X, C, D, Q = mast3r.inference_asymmetric(params, feat_f, pos_f, feat_k,
-                                             pos_k, cfg)
+    X, C, D, Q = model_mod.inference_asymmetric(params, feat_f, pos_f,
+                                                feat_k, pos_k, cfg)
     X, C, D, Q = mast3r.downsample_maps(X, C, D, Q, ds=ds)
     Xff, Xkf = X[0:1], X[1:2]
     Dff, Dkf = D[0:1], D[1:2]
@@ -84,11 +84,13 @@ def _track_gate(idx_f2k, valid_match_k, Qff, Qkf, Cf_avg, Ck_avg, C_conf,
 
 
 @partial(jax.jit, static_argnames=("cfg", "mcfg", "tcfg", "ds", "fuse_mode",
-                                   "score_fn", "use_calib", "img_size"))
+                                   "score_fn", "use_calib", "img_size",
+                                   "model_mod"))
 def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
                        idx_init, kf_X, kf_C, kf_N, kf_N_updates, kf_score,
                        kf_T_WC, frame_T_WC, K, ds: int, fuse_mode: str,
-                       score_fn: str, use_calib: bool, img_size):
+                       score_fn: str, use_calib: bool, img_size,
+                       model_mod=mast3r):
     """Whole tracking step as ONE compiled program.
 
     Inference + matching + gating + Sim(3) GN + masked pointmap fusion and
@@ -104,7 +106,8 @@ def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
     from .frame import fuse_pointmap
 
     (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf) = _track_match(
-        params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init, ds)
+        params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init, ds,
+        model_mod)
 
     kf_Cavg = (kf_C / jnp.maximum(kf_N.astype(kf_C.dtype), 1.0))[:, None]
     Qk, valid_opt, stats3 = _track_gate(
@@ -183,6 +186,7 @@ class TrackerRunner:
         self.K = K
         self.downsample = 1
         self.fused = True
+        self.model_mod = mast3r
         self.idx_f2k = None
         self.last_stats = {}
 
@@ -215,7 +219,7 @@ class TrackerRunner:
             row(kfs.N_updates, last), row(kfs.score, last),
             row(kfs.T_WC, last), frame.T_WC, K,
             self.downsample, self.filtering_mode, self.filtering_score,
-            self.use_calib, (kfs.h, kfs.w))
+            self.use_calib, (kfs.h, kfs.w), self.model_mod)
 
         st = np.asarray(stats)  # the single per-frame device sync
         self.idx_f2k = idx_f2k
@@ -257,7 +261,7 @@ class TrackerRunner:
             self.params, cfg, self.mcfg, frame.feat[None], frame.pos[None],
             kf.feat[None], kf.pos[None],
             idx_init[None] if idx_init is not None else None,
-            self.downsample,
+            self.downsample, self.model_mod,
         )
         self.idx_f2k = idx_f2k
 
@@ -338,9 +342,9 @@ def _act(T, X):
     return sim3.act(T, X)
 
 
-@partial(jax.jit, static_argnames=("cfg", "ds"))
-def _mono_init(params, cfg, feat, pos, ds=1):
-    return mast3r.inference_mono(params, feat, pos, cfg, ds)
+@partial(jax.jit, static_argnames=("cfg", "ds", "model_mod"))
+def _mono_init(params, cfg, feat, pos, ds=1, model_mod=mast3r):
+    return model_mod.inference_mono(params, feat, pos, cfg, ds)
 
 
 class SLAMSystem:
@@ -350,7 +354,7 @@ class SLAMSystem:
     def __init__(self, params, model_cfg, config: dict, img_shape,
                  retrieval_params=None, K=None,
                  keyframe_capacity=None, edge_capacity=None, metrics=None,
-                 debug_checks: bool = False):
+                 debug_checks: bool = False, model_module=mast3r):
         from .. import config as config_mod
 
         h, w = img_shape
@@ -369,6 +373,7 @@ class SLAMSystem:
 
         self.config = config
         self.model_cfg = model_cfg
+        self.model_mod = model_module
         self.params = params
         self.use_calib = bool(config.get("use_calib", False))
         self.K = K
@@ -394,9 +399,11 @@ class SLAMSystem:
                                                    "median"),
             use_calib=self.use_calib, K=K)
         self.tracker.downsample = ds
+        self.tracker.model_mod = model_module
         self.factor_graph = FactorGraph(params, model_cfg, self.keyframes,
                                         fg_cfg, ba_cfg, mcfg, K=K,
-                                        downsample=ds)
+                                        downsample=ds,
+                                        model_module=model_module)
         self.retrieval = (
             RetrievalDatabase(retrieval_params) if retrieval_params else None
         )
@@ -427,7 +434,8 @@ class SLAMSystem:
             img_np * 0.5 + 0.5)
         frame = Frame(frame_id=frame_id, img=img, uimg=uimg, T_WC=T_WC,
                       K=self.K)
-        feat, pos = mast3r.encode(self.params, img[None], self.model_cfg)
+        feat, pos = self.model_mod.encode(self.params, img[None],
+                                          self.model_cfg)
         frame.feat = feat[0]
         frame.pos = pos[0]
         return frame
@@ -438,7 +446,8 @@ class SLAMSystem:
         """One frontend step; returns the (possibly updated) mode."""
         if self.mode == Mode.INIT:
             X, C = _mono_init(self.params, self.model_cfg, frame.feat[None],
-                              frame.pos[None], self.downsample)
+                              frame.pos[None], self.downsample,
+                              self.model_mod)
             frame.update_pointmap(X[0], C[0],
                                   self.config["tracking"]["filtering_mode"])
             self.keyframes.append(frame)
@@ -470,7 +479,8 @@ class SLAMSystem:
 
         if self.mode == Mode.RELOC:
             X, C = _mono_init(self.params, self.model_cfg, frame.feat[None],
-                              frame.pos[None], self.downsample)
+                              frame.pos[None], self.downsample,
+                              self.model_mod)
             frame.update_pointmap(X[0], C[0],
                                   self.config["tracking"]["filtering_mode"])
             self.current_frame = frame

@@ -1,0 +1,97 @@
+"""End-to-end SLAM validation with the ground-truth oracle predictor.
+
+The ONLY substitute component is the network (models/oracle.py); everything
+else — projective matcher, Sim(3) GN tracker, keyframing, factor graph,
+global BA, export, ATE — is the production stack. The recovered trajectory
+must match the ground truth after Sim(3) alignment (SURVEY.md §4's
+"end-to-end ATE regression with a fake pointmap predictor").
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mast3r_slam_tpu import config as config_mod
+from mast3r_slam_tpu.eval import ate
+from mast3r_slam_tpu.lie import sim3
+from mast3r_slam_tpu.models import oracle
+from mast3r_slam_tpu.models.mast3r import MASt3RConfig
+from mast3r_slam_tpu.slam.system import SLAMSystem
+
+CFG = MASt3RConfig(img_size=(64, 96), enc_embed_dim=64, desc_dim=8,
+                   dtype="float32")
+
+
+def _gt_trajectory(n):
+    """Smooth orbit-ish motion keeping the sphere in view. Steps are large
+    relative to the pixel footprint so the inherent half-pixel match
+    quantization (same as the reference's integer matching) stays a small
+    fraction of the motion at this miniature resolution."""
+    Ts = [sim3.identity()]
+    for i in range(1, n):
+        xi = jnp.array([0.18, 0.04 * np.sin(i / 3), 0.04,
+                        0.0, 0.06, 0.008, 0.0])
+        Ts.append(sim3.mul(Ts[-1], sim3.exp(xi)))
+    return jnp.stack(Ts)
+
+
+@pytest.fixture(scope="module")
+def oracle_run(tmp_path_factory):
+    n_frames = 10
+    h, w = CFG.img_size
+    traj = _gt_trajectory(n_frames)
+    params = oracle.make_params(traj, desc_dim=CFG.desc_dim)
+
+    cfg = dict(config_mod.default_config())
+    cfg["tracking"] = dict(cfg["tracking"])
+    # keyframe often so the factor graph / BA chain is exercised
+    cfg["tracking"]["match_frac_thresh"] = 0.95
+
+    system = SLAMSystem(params, CFG, cfg, (h, w), keyframe_capacity=16,
+                        edge_capacity=64, model_module=oracle)
+    for i in range(n_frames):
+        frame = system.make_frame(i, oracle.make_frame_image(i, h, w))
+        system.process_frame(frame)
+        while system.backend_step():
+            pass
+    return system, traj
+
+
+def test_oracle_tracking_recovers_trajectory(oracle_run, tmp_path):
+    system, traj = oracle_run
+    n = len(system.keyframes)
+    assert n >= 4, f"expected several keyframes, got {n}"
+    assert system.stats["skipped"] == 0
+
+    ids = np.asarray(system.keyframes.dataset_idx[:n])
+    T_est = np.asarray(system.keyframes.T_WC[:n])
+    T_gt = np.asarray(traj)[ids]
+
+    # Sim3-aligned ATE over keyframe positions
+    s, R, t = ate.umeyama_alignment(T_est[:, :3], T_gt[:, :3])
+    aligned = (s * (R @ T_est[:, :3].T)).T + t
+    err = np.linalg.norm(aligned - T_gt[:, :3], axis=1)
+    rmse = float(np.sqrt((err ** 2).mean()))
+    extent = float(np.linalg.norm(T_gt[:, :3].max(0) - T_gt[:, :3].min(0)))
+    # floor set by half-pixel match quantization at this tiny resolution
+    assert rmse < 0.06 * max(extent, 1e-6), (rmse, extent, ids)
+
+
+def test_oracle_run_exports_valid_trajectory(oracle_run, tmp_path):
+    from mast3r_slam_tpu.io import export
+
+    system, traj = oracle_run
+    stamps = [float(i) for i in range(len(traj))]
+    f = export.save_traj(tmp_path, "oracle.txt", stamps, system.keyframes)
+    # write ground truth and run the full ATE tool on the files
+    n_all = len(traj)
+    gt = np.asarray(traj)
+    with open(tmp_path / "gt.txt", "w") as fh:
+        for i in range(n_all):
+            x, y, z, qx, qy, qz, qw = gt[i, :7]
+            fh.write(f"{i}.0 {x} {y} {z} {qx} {qy} {qz} {qw}\n")
+    res = ate.ate_rmse(tmp_path / "gt.txt", f, max_diff=0.5)
+    assert res["n_pairs"] == len(system.keyframes)
+    assert res["rmse"] < 0.12, res
