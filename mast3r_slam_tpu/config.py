@@ -106,6 +106,7 @@ def make_matching_config(cfg: dict) -> MatchingConfig:
         convergence_thresh=float(m["convergence_thresh"]),
         dist_thresh=float(m["dist_thresh"]), radius=int(m["radius"]),
         dilation_max=int(m["dilation_max"]),
+        subpixel=bool(m.get("subpixel", False)),
     )
 
 

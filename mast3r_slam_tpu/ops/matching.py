@@ -191,11 +191,20 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
 
 def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
           lambda_init: float = 1e-8, convergence_thresh: float = 1e-6,
-          dist_thresh: float = 1e-1, radius: int = 3, dilation_max: int = 5):
+          dist_thresh: float = 1e-1, radius: int = 3, dilation_max: int = 5,
+          subpixel: bool = False):
     """Full matcher: ray LM projection + occlusion gate + descriptor refine.
 
     Spec: matching.py:52-90. Shapes: X11/X21 (b,h,w,3), D11/D21 (b,h,w,f).
-    Returns (idx_1_to_2 (b, h*w) int32, valid (b, h*w, 1) bool).
+    Returns (idx_1_to_2 (b, h*w) int32, valid (b, h*w, 1) bool), plus — when
+    ``subpixel`` — the float match positions p_sub (b, h*w, 2).
+
+    ``subpixel`` goes beyond the reference (which truncates matches to
+    integer pixels because its CUDA GN gathers by index,
+    matching.py:67/p1.long()): after the integer descriptor refinement, a
+    short LM polish re-runs from the refined position and the float result
+    is returned so the tracker can interpolate correspondences, removing
+    the half-pixel quantization floor from the pose residuals.
     """
     b, h, w, _ = X11.shape
     n = h * w
@@ -228,4 +237,10 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
                                     D21.reshape(b, n, -1).astype(jnp.bfloat16),
                                     p1i, radius, dilation_max)
 
-    return pixel_to_lin(p1i, w), valid[..., None]
+    if not subpixel:
+        return pixel_to_lin(p1i, w), valid[..., None]
+
+    p_sub, _ = iter_proj(rays_grad, pts3d_norm, p1i.astype(X11.dtype),
+                         max(2, max_iter // 3), lambda_init,
+                         convergence_thresh)
+    return pixel_to_lin(p1i, w), valid[..., None], p_sub

@@ -60,7 +60,9 @@ def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
             fine_radius=mcfg.radius, lambda_init=mcfg.lambda_init,
             convergence_thresh=mcfg.convergence_thresh)
     else:
-        idx, valid = matching.match(X11, X21, D11, D21, **mcfg._asdict())
+        kw = mcfg._asdict()
+        kw["subpixel"] = False   # BA gathers by index (reference semantics)
+        idx, valid = matching.match(X11, X21, D11, D21, **kw)
     hw = X11.shape[1] * X11.shape[2]
     flat = lambda a: a.reshape(b, hw)
     return {
@@ -82,6 +84,9 @@ class MatchingConfig(NamedTuple):
     dist_thresh: float = 0.1
     radius: int = 3
     dilation_max: int = 5
+    subpixel: bool = False   # float-position correspondences (beyond the
+                             # reference's integer matching; tracker
+                             # interpolates the pointmap at the match)
 
 
 class FactorGraph:

