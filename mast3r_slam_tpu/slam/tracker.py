@@ -54,6 +54,83 @@ class TrackResult(NamedTuple):
     failed: jnp.ndarray  # bool: non-finite Cholesky update encountered
 
 
+def _gn_step_t(sqrt_info_t, r_t, J_t, huber_k):
+    """Transposed-layout normal equations (TPU fast path).
+
+    Same math as ``_gn_step`` but in component-major layout: r_t/sqrt_info_t
+    are (d, N) and J_t is (d, 7, N) with the *point* axis minor. On TPU the
+    minor-most axis maps to the 128-wide vector lanes, so (N, d, 7) arrays
+    (d=3..4, 7 columns) waste ~95% of each vector register and of HBM
+    bandwidth; with N minor every elementwise op is fully lane-utilized and
+    H = AᵀA is one (7, 4N)x(4N, 7) MXU contraction.
+    """
+    whitened_r = sqrt_info_t * r_t
+    rsi = sqrt_info_t * jnp.sqrt(robust.huber(whitened_r, huber_k))
+    A = rsi[:, None, :] * J_t                       # (d, 7, N)
+    b = rsi * r_t                                   # (d, N)
+    H = jnp.einsum("din,djn->ij", A, A, preferred_element_type=jnp.float32)
+    g = -jnp.einsum("din,dn->i", A, b, preferred_element_type=jnp.float32)
+    cost = 0.5 * jnp.sum(b * b)
+
+    L, low = jax.scipy.linalg.cho_factor(H, lower=True)
+    tau = jax.scipy.linalg.cho_solve((L, low), g)
+    ok = jnp.all(jnp.isfinite(tau))
+    tau = jnp.where(ok, tau, jnp.zeros_like(tau))
+    return tau, cost, ok
+
+
+def _act_t(T, Xt):
+    """Sim3 action on column points Xt (3, N): s R Xt + t."""
+    t, q, s = sim3.parts(T)
+    R = sim3.quat_to_matrix(q)
+    return s * (R @ Xt) + t[:, None]
+
+
+def _ray_dist_t(Yt):
+    """[ray(3), dist(1)] of column points (3, N) -> ((4, N), d, r)."""
+    d = jnp.sqrt(jnp.sum(Yt * Yt, axis=0))
+    r = Yt / d
+    return jnp.concatenate([r, d[None]], axis=0), d, r
+
+
+def _ray_dist_pose_jacobian_t(d, rt):
+    """Transposed closed-form d[ray,dist]/d(left Sim3 perturbation): (4,7,N).
+
+    Same entries as geometry.ray_dist_pose_jacobian, component-major.
+    """
+    di = 1.0 / d
+    rx, ry, rz = rt[0], rt[1], rt[2]
+    z = jnp.zeros_like(d)
+    row0 = [(1.0 - rx * rx) * di, -rx * ry * di, -rx * rz * di, z, rz, -ry, z]
+    row1 = [-rx * ry * di, (1.0 - ry * ry) * di, -ry * rz * di, -rz, z, rx, z]
+    row2 = [-rx * rz * di, -ry * rz * di, (1.0 - rz * rz) * di, ry, -rx, z, z]
+    row3 = [rx, ry, rz, z, z, z, d]
+    return jnp.stack([jnp.stack(r) for r in (row0, row1, row2, row3)])
+
+
+def _calib_pose_jacobian_t(Yt, K, z_eps):
+    """Transposed closed-form d[u,v,logz]/d(left Sim3 perturbation): (3,7,N).
+
+    Same entries as geometry.calib_pose_jacobian, component-major.
+    """
+    from .. import geometry
+
+    fx, fy, cx, cy = geometry.decompose_K(K)
+    x, y, zc = Yt[0], Yt[1], Yt[2]
+    valid = zc > z_eps
+    zi = jnp.where(valid, 1.0 / jnp.where(valid, zc, 1.0), 0.0)
+    xz = x * zi
+    yz = y * zi
+    z = jnp.zeros_like(zi)
+    one = jnp.where(valid, jnp.ones_like(zi), 0.0)
+    row_u = [fx * zi, z, -fx * xz * zi,
+             -fx * xz * yz, fx * (one + xz * xz), -fx * yz, z]
+    row_v = [z, fy * zi, -fy * yz * zi,
+             -fy * (one + yz * yz), fy * xz * yz, fy * xz, z]
+    row_z = [z, z, zi, yz, -xz, z, one]
+    return jnp.stack([jnp.stack(r) for r in (row_u, row_v, row_z)])
+
+
 def _gn_step(sqrt_info, r, J, huber_k):
     """Whitened, Huber-robustified normal equations and solve.
 
@@ -75,7 +152,7 @@ def _gn_step(sqrt_info, r, J, huber_k):
     return tau, cost, ok
 
 
-def _run_gn(residual_fn, T_init, cfg: TrackerConfig):
+def _run_gn(residual_fn, T_init, cfg: TrackerConfig, step_fn=_gn_step):
     """Shared GN driver: while_loop with convergence/failure exits."""
 
     def cond(state):
@@ -85,7 +162,7 @@ def _run_gn(residual_fn, T_init, cfg: TrackerConfig):
     def body(state):
         T, old_cost, it, done, failed = state
         sqrt_info, r, J = residual_fn(T)
-        tau, cost, ok = _gn_step(sqrt_info, r, J, cfg.huber)
+        tau, cost, ok = step_fn(sqrt_info, r, J, cfg.huber)
         T_new = sim3.retr(T, tau)
         T_new = jnp.where(ok, T_new, T)
         conv = robust.converged(cfg.rel_error, cfg.delta_norm, old_cost, cost, tau)
@@ -112,44 +189,55 @@ def opt_pose_ray_dist_sim3(Xf, Xk, T_CkCf_init, Qk, valid, cfg: TrackerConfig):
       T_CkCf_init: (8,) initial relative Sim3.
       Qk: (N, 1) match confidences; valid: (N, 1) bool.
     """
-    sQ = jnp.sqrt(Qk) * valid
-    sqrt_info = jnp.concatenate(
-        [jnp.repeat(sQ / cfg.sigma_ray, 3, axis=-1), sQ / cfg.sigma_dist],
-        axis=-1,
-    )
-    rd_k = geometry.point_to_ray_dist(Xk)
+    sQ = (jnp.sqrt(Qk) * valid)[:, 0]               # (N,)
+    si_t = jnp.stack([sQ / cfg.sigma_ray] * 3 + [sQ / cfg.sigma_dist])
+    Xk_t = Xk.T
+    rd_k_t, _, _ = _ray_dist_t(Xk_t)
+    Xf_t = Xf.T
 
     def residual(T):
-        Xf_Ck = geometry.act_Sim3(T, Xf)
-        rd_f = geometry.point_to_ray_dist(Xf_Ck)
-        r = rd_k - rd_f
-        J = -geometry.ray_dist_pose_jacobian(Xf_Ck)
-        return sqrt_info, r, J
+        Yt = _act_t(T, Xf_t)
+        rd_f_t, d, rt = _ray_dist_t(Yt)
+        r_t = rd_k_t - rd_f_t
+        J_t = -_ray_dist_pose_jacobian_t(d, rt)
+        return si_t, r_t, J_t
 
-    return _run_gn(residual, T_CkCf_init, cfg)
+    return _run_gn(residual, T_CkCf_init, cfg, step_fn=_gn_step_t)
 
 
 @partial(jax.jit, static_argnames=("cfg", "img_size"))
 def opt_pose_calib_sim3(Xf, Xk, T_CkCf_init, Qk, valid, meas_k, valid_meas_k,
                         K, img_size, cfg: TrackerConfig):
     """Pixel + log-depth GN (calibrated). Spec: tracker.py:216-266."""
-    sQ = jnp.sqrt(Qk) * valid
-    sqrt_info = jnp.concatenate(
-        [jnp.repeat(sQ / cfg.sigma_pixel, 2, axis=-1), sQ / cfg.sigma_depth],
-        axis=-1,
-    )
+    sQ = (jnp.sqrt(Qk) * valid)[:, 0]               # (N,)
+    si_t = jnp.stack([sQ / cfg.sigma_pixel] * 2 + [sQ / cfg.sigma_depth])
+    Xf_t = Xf.T
+    meas_k_t = meas_k.T                              # (3, N)
+    valid_meas = valid_meas_k[:, 0]                  # (N,)
+    h, w = img_size
+    fx, fy, cx, cy = geometry.decompose_K(K)
+    border, z_eps = cfg.pixel_border, cfg.depth_eps
 
     def residual(T):
-        Xf_Ck = geometry.act_Sim3(T, Xf)
-        pz, valid_proj = geometry.project_calib(
-            Xf_Ck, K, img_size, border=cfg.pixel_border, z_eps=cfg.depth_eps,
+        Yt = _act_t(T, Xf_t)
+        x, y, zc = Yt[0], Yt[1], Yt[2]
+        valid_z = zc > z_eps
+        z_safe = jnp.where(valid_z, zc, 1.0)
+        zi = 1.0 / z_safe
+        u = fx * x * zi + cx
+        v = fy * y * zi + cy
+        valid_proj = (
+            (u > border) & (u < w - 1 - border)
+            & (v > border) & (v < h - 1 - border) & valid_z
         )
-        w = (valid_proj & valid_meas_k) * sqrt_info
-        r = meas_k - pz
-        J = -geometry.calib_pose_jacobian(Xf_Ck, K, z_eps=cfg.depth_eps)
-        return w, r, J
+        logz = jnp.where(valid_z, jnp.log(z_safe), 0.0)
+        pz_t = jnp.stack([u, v, logz])
+        w_t = (valid_proj & valid_meas)[None] * si_t
+        r_t = meas_k_t - pz_t
+        J_t = -_calib_pose_jacobian_t(Yt, K, z_eps)
+        return w_t, r_t, J_t
 
-    return _run_gn(residual, T_CkCf_init, cfg)
+    return _run_gn(residual, T_CkCf_init, cfg, step_fn=_gn_step_t)
 
 
 @partial(jax.jit, static_argnames=("img_size",))

@@ -87,3 +87,62 @@ def test_gn_failure_flag_on_degenerate_input():
     np.testing.assert_allclose(
         np.asarray(res.T_CkCf), np.asarray(sim3.identity()), atol=1e-6
     )
+
+
+def test_transposed_gn_matches_reference_layout():
+    """The component-major (TPU fast-path) GN must reproduce the original
+    row-major formulation exactly (same iterates, same solution)."""
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n = 500
+    Xk = jax.random.normal(k1, (n, 3)) + jnp.asarray([0, 0, 3.0])
+    T_true = sim3.exp(0.05 * jax.random.normal(k2, (7,)))
+    Xf = sim3.act(sim3.inv(T_true), Xk) + 0.01 * jax.random.normal(k3, (n, 3))
+    Q = jnp.abs(jax.random.normal(k4, (n, 1))) + 2.0
+    valid = jax.random.uniform(key, (n, 1)) > 0.1
+    cfg = tracker.TrackerConfig()
+    sQ = jnp.sqrt(Q) * valid
+
+    # ray+dist: reference-shaped residual via geometry.py closed forms
+    si = jnp.concatenate(
+        [jnp.repeat(sQ / cfg.sigma_ray, 3, axis=-1), sQ / cfg.sigma_dist], -1)
+    rd_k = geometry.point_to_ray_dist(Xk)
+
+    def res_old(T_):
+        Y = geometry.act_Sim3(T_, Xf)
+        return si, rd_k - geometry.point_to_ray_dist(Y), \
+            -geometry.ray_dist_pose_jacobian(Y)
+
+    r_old = tracker._run_gn(res_old, sim3.identity(), cfg,
+                            step_fn=tracker._gn_step)
+    r_new = tracker.opt_pose_ray_dist_sim3(Xf, Xk, sim3.identity(), Q, valid,
+                                           cfg)
+    assert int(r_old.iters) == int(r_new.iters)
+    np.testing.assert_allclose(np.asarray(r_old.T_CkCf),
+                               np.asarray(r_new.T_CkCf), atol=1e-5)
+
+    # calib: pixel + log-depth
+    img_size = (20, 25)
+    K = jnp.asarray([[10.0, 0, 12], [0, 10.0, 9], [0, 0, 1]])
+    meas_k, valid_meas = tracker.calib_measurements(Xk, K, img_size,
+                                                    cfg.depth_eps)
+    si_c = jnp.concatenate(
+        [jnp.repeat(sQ / cfg.sigma_pixel, 2, axis=-1), sQ / cfg.sigma_depth],
+        -1)
+
+    def res_old_c(T_):
+        Y = geometry.act_Sim3(T_, Xf)
+        pz, vp = geometry.project_calib(Y, K, img_size,
+                                        border=cfg.pixel_border,
+                                        z_eps=cfg.depth_eps)
+        w = (vp & valid_meas) * si_c
+        return w, meas_k - pz, -geometry.calib_pose_jacobian(
+            Y, K, z_eps=cfg.depth_eps)
+
+    rc_old = tracker._run_gn(res_old_c, sim3.identity(), cfg,
+                             step_fn=tracker._gn_step)
+    rc_new = tracker.opt_pose_calib_sim3(Xf, Xk, sim3.identity(), Q, valid,
+                                         meas_k, valid_meas, K, img_size, cfg)
+    assert int(rc_old.iters) == int(rc_new.iters)
+    np.testing.assert_allclose(np.asarray(rc_old.T_CkCf),
+                               np.asarray(rc_new.T_CkCf), atol=2e-3)
