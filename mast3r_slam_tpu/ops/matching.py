@@ -61,6 +61,33 @@ def _unfold_pairs(img):
     return U.reshape(b, h * (w - 1), 2 * c)
 
 
+def _unfold_quads(img):
+    """(b, h, w, c) -> (b, (h-1)*(w-1), 4c): row (v, u) holds the 2x2 corner
+    block [img[v,u], img[v,u+1], img[v+1,u], img[v+1,u+1]] so one bilinear
+    sample is ONE row gather."""
+    b, h, w, c = img.shape
+    q = jnp.concatenate(
+        [img[:, :-1, :-1], img[:, :-1, 1:], img[:, 1:, :-1], img[:, 1:, 1:]],
+        axis=-1)
+    return q.reshape(b, (h - 1) * (w - 1), 4 * c)
+
+
+def _bilinear_gather_quad(quads, u, v, w, h, c):
+    """Sample the quad-unfolded image at float pixel coords (b, n) with one
+    row gather. Assumes u in [1, w-2], v in [1, h-2]."""
+    u11 = jnp.floor(u)
+    v11 = jnp.floor(v)
+    du = (u - u11)[..., None]
+    dv = (v - v11)[..., None]
+    iu = u11.astype(jnp.int32)
+    iv = v11.astype(jnp.int32)
+    wu = w - 1
+    q = jnp.take_along_axis(quads, (iv * wu + iu)[..., None], axis=1)
+    top = q[..., 0 * c:1 * c] * (1.0 - du) + q[..., 1 * c:2 * c] * du
+    bot = q[..., 2 * c:3 * c] * (1.0 - du) + q[..., 3 * c:4 * c] * du
+    return top * (1.0 - dv) + bot * dv
+
+
 def _bilinear_gather(unfolded, u, v, w, h, c):
     """Sample the pair-unfolded image at float pixel coords (b, n).
 
@@ -99,48 +126,63 @@ def iter_proj(rays_with_grad_img, pts3d_norm, p_init, max_iter: int = 10,
     Returns: (p_new (b, n, 2) float, converged (b, n) bool).
     """
     b, h, w, c = rays_with_grad_img.shape
-    unfolded = _unfold_pairs(rays_with_grad_img)
+    quads = _unfold_quads(rays_with_grad_img)
 
     u0 = jnp.clip(p_init[..., 0], 1.0, w - 2.0)
     v0 = jnp.clip(p_init[..., 1], 1.0, h - 2.0)
 
     def ray_cost(u, v):
-        s = _bilinear_gather(unfolded, u, v, w, h, c)
+        s = _bilinear_gather_quad(quads, u, v, w, h, c)
         r = _normalize(s[..., 0:3])
         err = r - pts3d_norm
         return s, err, jnp.sum(err * err, axis=-1)
 
+    # ONE bilinear gather per LM iteration: the sample s (ray + gradients)
+    # of the last ACCEPTED point is carried in the loop state, so each
+    # iteration only evaluates the new trial point. The CUDA kernel
+    # (matching_kernels.cu:119-275) — and the previous version of this
+    # function — re-samples the accepted point every iteration, i.e. 2
+    # gathers per iteration for the same LM trajectory; the gathers are
+    # the dominant cost of this op on TPU (DEVELOPMENT.md).
     def body(_, state):
-        u, v, lam, conv = state
-        s, err, cost = ray_cost(u, v)
-        gx = s[..., 3:6]
-        gy = s[..., 6:9]
+        s_a, cost_a, u_a, v_a, u_t, v_t, lam, conv = state
+        s_t, _, cost_t = ray_cost(u_t, v_t)
 
+        improved = cost_t < cost_a
+        u_b = jnp.where(improved, u_t, u_a)
+        v_b = jnp.where(improved, v_t, v_a)
+        s_b = jnp.where(improved[..., None], s_t, s_a)
+        cost_b = jnp.minimum(cost_t, cost_a)
+        lam = jnp.where(improved, lam * 0.1, lam * 10.0)
+        conv = cost_b < cost_thresh
+
+        err_b = _normalize(s_b[..., 0:3]) - pts3d_norm
+        gx = s_b[..., 3:6]
+        gy = s_b[..., 6:9]
         A00 = jnp.sum(gx * gx, axis=-1) + lam
         A01 = jnp.sum(gx * gy, axis=-1)
         A11 = jnp.sum(gy * gy, axis=-1) + lam
-        b0 = -jnp.sum(err * gx, axis=-1)
-        b1 = -jnp.sum(err * gy, axis=-1)
+        b0 = -jnp.sum(err_b * gx, axis=-1)
+        b1 = -jnp.sum(err_b * gy, axis=-1)
 
         det = A00 * A11 - A01 * A01
         det_inv = 1.0 / det
         du = det_inv * (A11 * b0 - A01 * b1)
         dv = det_inv * (-A01 * b0 + A00 * b1)
-
-        u_new = jnp.clip(u + du, 1.0, w - 2.0)
-        v_new = jnp.clip(v + dv, 1.0, h - 2.0)
-        _, _, new_cost = ray_cost(u_new, v_new)
-
-        improved = new_cost < cost
-        u = jnp.where(improved, u_new, u)
-        v = jnp.where(improved, v_new, v)
-        lam = jnp.where(improved, lam * 0.1, lam * 10.0)
-        conv = jnp.where(improved, new_cost < cost_thresh, cost < cost_thresh)
-        return u, v, lam, conv
+        u_n = jnp.clip(u_b + du, 1.0, w - 2.0)
+        v_n = jnp.clip(v_b + dv, 1.0, h - 2.0)
+        return s_b, cost_b, u_b, v_b, u_n, v_n, lam, conv
 
     lam0 = jnp.full(u0.shape, lambda_init, dtype=u0.dtype)
     conv0 = jnp.zeros(u0.shape, dtype=bool)
-    u, v, _, conv = jax.lax.fori_loop(0, max_iter, body, (u0, v0, lam0, conv0))
+    inf0 = jnp.full(u0.shape, jnp.inf, dtype=u0.dtype)
+    s0 = jnp.zeros(u0.shape + (c,), dtype=rays_with_grad_img.dtype)
+    state = (s0, inf0, u0, v0, u0, v0, lam0, conv0)
+    # max_iter + 1 evaluations: the first consumes the init point (accepted
+    # vs cost=inf), the remaining max_iter are LM proposals — the same
+    # trajectory as the 2-gather-per-iteration formulation with max_iter.
+    state = jax.lax.fori_loop(0, max_iter + 1, body, state)
+    _, cost, u, v, _, _, _, conv = state
     return jnp.stack([u, v], axis=-1), conv
 
 
@@ -227,15 +269,20 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
     valid = valid_proj & (dists < dist_thresh)
 
     if radius > 0:
-        from .window_gather import refine_matches_unfold
+        from .window_gather import (refine_matches_full_unfold,
+                                    refine_matches_unfold)
 
         # half precision for the window search (reference uses fp16,
-        # matching.py:80-86); the unfolded layout needs k row gathers per
-        # level instead of k^2 (~2x faster; equality-tested vs
-        # refine_matches)
-        p1i = refine_matches_unfold(D11.astype(jnp.bfloat16),
-                                    D21.reshape(b, n, -1).astype(jnp.bfloat16),
-                                    p1i, radius, dilation_max)
+        # matching.py:80-86). Two equality-tested layouts: k row gathers
+        # per level (unfold) vs ONE row gather per level over a
+        # (2r+1)^2-wide unfold (full) — the full unfold amortizes its
+        # larger build traffic when there are >= 2 levels (measured on
+        # chip; see DEVELOPMENT.md gather notes).
+        refine = (refine_matches_full_unfold if dilation_max >= 2
+                  else refine_matches_unfold)
+        p1i = refine(D11.astype(jnp.bfloat16),
+                     D21.reshape(b, n, -1).astype(jnp.bfloat16),
+                     p1i, radius, dilation_max)
 
     if not subpixel:
         return pixel_to_lin(p1i, w), valid[..., None]

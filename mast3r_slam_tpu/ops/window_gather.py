@@ -95,6 +95,75 @@ def gather_dilated_windows_unfold(U, u0, v0, d: int, r: int):
     return wnd.reshape(-1, k, k, c)
 
 
+@partial(jax.jit, static_argnames=("d", "r"))
+def build_unfolded_windows(img, d: int, r: int):
+    """Full-window unfold: one row per phase-decimated pixel holding the
+    ENTIRE (2r+1)^2 dilated window, so a window fetch is ONE row gather.
+
+    (h, w, c) -> (d, d, ceil(h/d), ceil(w/d), (2r+1)^2 * c). Costs
+    (2r+1)^2 x the descriptor image in HBM traffic to build — the trade
+    that wins when gathers are priced per row (DEVELOPMENT.md).
+    """
+    P = build_phase_decimation(img, d, r)          # (d, d, H, W, c)
+    k = 2 * r + 1
+    H, W = P.shape[2], P.shape[3]
+    rows = [P[:, :, i:H - 2 * r + i, j:W - 2 * r + j, :]
+            for i in range(k) for j in range(k)]
+    return jnp.concatenate(rows, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("d", "r"))
+def gather_dilated_windows_full(U2, u0, v0, d: int, r: int):
+    """Window fetch via ONE row gather per point on the full-window unfold.
+
+    U2: output of build_unfolded_windows. Returns (n, 2r+1, 2r+1, c).
+    """
+    k = 2 * r + 1
+    dd, _, Hc, Wc, kkc = U2.shape
+    c = kkc // (k * k)
+    flat = U2.reshape(-1, kkc)
+    pv = v0 % d
+    pu = u0 % d
+    vs = v0 // d
+    us = u0 // d
+    rowidx = ((pv * d + pu) * Hc + vs) * Wc + us
+    wnd = jnp.take(flat, rowidx, axis=0)
+    return wnd.reshape(-1, k, k, c)
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+def refine_matches_full_unfold(D11, D21, p1, radius: int = 3,
+                               dilation_max: int = 5):
+    """Drop-in replacement for ops.matching.refine_matches using ONE row
+    gather per point per level (identical results)."""
+    b, h, w, f = D11.shape
+    cdt = jnp.promote_types(D11.dtype, D21.dtype)
+    k = 2 * radius + 1
+
+    def one_image(Dimg, Dq, u0, v0):
+        for d in range(dilation_max, 0, -1):
+            U2 = build_unfolded_windows(Dimg, d, radius)
+            wnd = gather_dilated_windows_full(U2, u0, v0, d, radius)
+            offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * d
+            uu = u0[:, None, None] + offs[None, None, :]
+            vv = v0[:, None, None] + offs[None, :, None]
+            inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+            scores = jnp.einsum("nijf,nf->nij", wnd.astype(cdt),
+                                Dq.astype(cdt),
+                                preferred_element_type=jnp.float32)
+            scores = jnp.where(inside, scores, -jnp.inf)
+            best = jnp.argmax(scores.reshape(-1, k * k), axis=-1)
+            bi = best // k
+            bj = best % k
+            u0 = jnp.clip(u0 + (bj - radius) * d, 0, w - 1)
+            v0 = jnp.clip(v0 + (bi - radius) * d, 0, h - 1)
+        return u0, v0
+
+    outs = jax.vmap(one_image)(D11, D21, p1[..., 0].astype(jnp.int32),
+                               p1[..., 1].astype(jnp.int32))
+    return jnp.stack([outs[0], outs[1]], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("radius", "dilation_max"))
 def refine_matches_unfold(D11, D21, p1, radius: int = 3,
                           dilation_max: int = 5):

@@ -38,9 +38,9 @@ def gauss_newton_rays_dist(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     divisible by the mesh size (pad with masked edges)."""
     K_cap = T_WCs.shape[0]
 
-    def local_iteration(T, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l):
+    def local_iteration(T, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l, pre):
         H, g = ba._edge_terms_rays(T, Xs, Cs, ii_l, jj_l, idx_l, vm_l, Q_l,
-                                   mask_l, cfg)
+                                   mask_l, cfg, pre=pre)
         Hd, gd = ba._assemble(H, g, ii_l, jj_l, n_kf, K_cap, cfg.pin)
         Hd = jax.lax.psum(Hd, axis)
         gd = jax.lax.psum(gd, axis)
@@ -55,9 +55,13 @@ def gauss_newton_rays_dist(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
         check_vma=False,
     )
     def run(T0, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l):
+        # loop-invariant gathered points, hoisted out of the GN loop
+        pre = ba._edge_prep(Xs, Cs, ii_l, jj_l, idx_l, vm_l)
+
         def body(state):
             T, it, done = state
-            dx, free = local_iteration(T, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l)
+            dx, free = local_iteration(T, ii_l, jj_l, idx_l, vm_l, Q_l,
+                                       mask_l, pre)
             T_new = sim3.retr(T, dx)
             T = jnp.where(free[:, None], T_new, T)
             delta = jnp.linalg.norm(jnp.where(free[:, None], dx, 0.0))

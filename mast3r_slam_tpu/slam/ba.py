@@ -56,32 +56,136 @@ class BAConfig(NamedTuple):
 
 
 def _gather_points(Xs, Cs, ii, idx):
-    """Xi[e, p] = Xs[ii[e], idx[e, p]] as one flat take (E, P, 3)/(E, P)."""
+    """Xi[e, p] = Xs[ii[e], idx[e, p]] as one flat take (E, P, 3)/(E, P).
+
+    One fused 4-wide row gather (X and C together). This runs ONCE per
+    solve — the match indices are loop-invariant, so the gather (the only
+    random-access op in BA) is hoisted out of the GN while_loop; the CUDA
+    kernel re-gathers every iteration (gn_kernels.cu:930-961) because
+    GPU gathers are cheap, TPU ones are not.
+    """
     K, P, _ = Xs.shape
-    flat_idx = ii[:, None] * P + idx
-    Xi = jnp.take(Xs.reshape(K * P, 3), flat_idx, axis=0)
-    Ci = jnp.take(Cs.reshape(K * P), flat_idx, axis=0)
-    return Xi, Ci
+    XC = jnp.concatenate([Xs, Cs[..., None]], axis=-1).reshape(K * P, 4)
+    flat_idx = (ii[:, None] * P + idx).reshape(-1)
+    g = jnp.take(XC, flat_idx, axis=0).reshape(idx.shape[0], P, 4)
+    return g[..., 0:3], g[..., 3]
+
+
+def _act_t_b(T, Xt):
+    """Batched Sim3 action on column points: T (E, 8), Xt (E, 3, C)."""
+    t, q, s = sim3.parts(T)
+    R = sim3.quat_to_matrix(q)
+    return s[..., None] * jnp.einsum("eij,ejc->eic", R, Xt) + t[..., None]
+
+
+def _ray_dist_t_b(Yt):
+    """[ray, dist] of batched column points (E, 3, C) -> ((E,4,C), d, r)."""
+    d = jnp.sqrt(jnp.sum(Yt * Yt, axis=1))
+    r = Yt / d[:, None]
+    return jnp.concatenate([r, d[:, None]], axis=1), d, r
+
+
+def _stack_rows(rows):
+    """[[comp (E,C)] * 7] * r -> (E, r, 7, C)."""
+    return jnp.stack([jnp.stack(row, axis=1) for row in rows], axis=1)
+
+
+def _ray_jac_t_b(d, r):
+    """Component-major ray+dist pose Jacobian: (E, 4, 7, C).
+
+    Same entries as geometry.ray_dist_pose_jacobian; the point axis is
+    minor so every elementwise op rides full vector lanes.
+    """
+    di = 1.0 / d
+    rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
+    z = jnp.zeros_like(d)
+    return _stack_rows([
+        [(1.0 - rx * rx) * di, -rx * ry * di, -rx * rz * di, z, rz, -ry, z],
+        [-rx * ry * di, (1.0 - ry * ry) * di, -ry * rz * di, -rz, z, rx, z],
+        [-rx * rz * di, -ry * rz * di, (1.0 - rz * rz) * di, ry, -rx, z, z],
+        [rx, ry, rz, z, z, z, d],
+    ])
+
+
+def _point_jac_t_b(Yt):
+    """Component-major 3D point-difference pose Jacobian: (E, 3, 7, C)."""
+    x, y, zc = Yt[:, 0], Yt[:, 1], Yt[:, 2]
+    z = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    return _stack_rows([
+        [one, z, z, z, zc, -y, x],
+        [z, one, z, -zc, z, x, y],
+        [z, z, one, y, -x, z, zc],
+    ])
+
+
+def _calib_jac_t_b(Yt, K_mat, z_eps):
+    """Component-major pixel+log-depth pose Jacobian: (E, 3, 7, C)."""
+    fx, fy, cx, cy = geometry.decompose_K(K_mat)
+    x, y, zc = Yt[:, 0], Yt[:, 1], Yt[:, 2]
+    valid = zc > z_eps
+    zi = jnp.where(valid, 1.0 / jnp.where(valid, zc, 1.0), 0.0)
+    xz = x * zi
+    yz = y * zi
+    z = jnp.zeros_like(zi)
+    one = jnp.where(valid, jnp.ones_like(zi), 0.0)
+    return _stack_rows([
+        [fx * zi, z, -fx * xz * zi,
+         -fx * xz * yz, fx * (one + xz * xz), -fx * yz, z],
+        [z, fy * zi, -fy * yz * zi,
+         -fy * (one + yz * yz), fy * xz * yz, fy * xz, z],
+        [z, z, zi, yz, -xz, z, one],
+    ])
+
+
+def _apply_adj_inv_T_t(T, J):
+    """Batched component-major Adj(T)^{-T}: T (E, 8), J (E, r, 7, C).
+
+    Same map as sim3.apply_adj_inv_T (spec gn_kernels.cu:277-297):
+    [a, b, c] -> [s^-1 R a, R b + s^-1 t x (R a), c + s^-1 t . (R a)].
+    """
+    t, q, s = sim3.parts(T)
+    R = sim3.quat_to_matrix(q)
+    a = J[:, :, 0:3, :]
+    b = J[:, :, 3:6, :]
+    c = J[:, :, 6:7, :]
+    Ra = jnp.einsum("eij,erjc->eric", R, a)
+    Rb = jnp.einsum("eij,erjc->eric", R, b)
+    s_inv = (1.0 / s)[:, :, None, None]
+    tx = t[:, None, :, None]
+    t_x_Ra = jnp.stack([
+        tx[:, :, 1, :] * Ra[:, :, 2] - tx[:, :, 2, :] * Ra[:, :, 1],
+        tx[:, :, 2, :] * Ra[:, :, 0] - tx[:, :, 0, :] * Ra[:, :, 2],
+        tx[:, :, 0, :] * Ra[:, :, 1] - tx[:, :, 1, :] * Ra[:, :, 0],
+    ], axis=2)
+    t_dot_Ra = jnp.sum(tx * Ra, axis=2, keepdims=True)
+    return jnp.concatenate(
+        [s_inv * Ra, Rb + s_inv * t_x_Ra, c + s_inv * t_dot_Ra], axis=2)
 
 
 def _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
-                cfg: BAConfig, residual_fn, n_rows: int):
-    """Shared per-edge Hessian/gradient driver.
+                cfg: BAConfig, residual_fn, n_rows: int,
+                pre=None):
+    """Shared per-edge Hessian/gradient driver (component-major).
 
-    Scans point chunks; per chunk ``residual_fn(Tij, Xj_c, Xi_c, safe_idx)``
-    returns (err (E, C, r), J_theta (E, C, r, 7) w.r.t. the relative-pose
-    perturbation, sqrt_w_rows (E, C, r) per-row 1/sigma weights, extra_valid
-    (E, C)). The driver applies the confidence gates, the inverse-adjoint
-    map to per-pose Jacobians (gn_kernels.cu apply_Sim3_adj_inv) and the
-    Huber IRLS weights, and contracts to (E, 14, 14) blocks + (E, 14)
-    gradients with MXU matmuls.
+    Scans point chunks; per chunk ``residual_fn(Tij, Xj_t, Xi_t, safe_idx)``
+    (column-point layouts (E, 3, C)) returns (err (E, r, C), J_theta
+    (E, r, 7, C) w.r.t. the relative-pose perturbation, sqrt_w_rows
+    broadcastable to (E, r, C), extra_valid (E, C)). The driver applies the
+    confidence gates, the inverse-adjoint map (gn_kernels.cu
+    apply_Sim3_adj_inv) and Huber IRLS weights, and contracts to
+    (E, 14, 14) blocks + (E, 14) gradients with MXU matmuls over the
+    point axis. ``pre`` carries the loop-invariant gathered points
+    (from _edge_prep) so the while_loop body stays gather-free.
     """
     E, P = idx.shape
     Ti = T_WCs[ii]
     Tj = T_WCs[jj]
     Tij = sim3.rel(Ti, Tj)
-    Cj_all = Cs[jj]
-    Xj_all = Xs[jj]
+
+    if pre is None:
+        pre = _edge_prep(Xs, Cs, ii, jj, idx, valid_match)
+    Xi_all, Ci_all, Xj_all, Cj_all, safe_idx_all = pre
 
     C = min(cfg.point_chunk, P)
     n_chunks = -(-P // C)
@@ -93,23 +197,26 @@ def _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
         cfgpad = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
         return jnp.pad(x, cfgpad, constant_values=fill)
 
-    idx_p = pad_pts(idx).reshape(E, n_chunks, C)
-    vm_p = pad_pts(valid_match).reshape(E, n_chunks, C)
-    Q_p = pad_pts(Q).reshape(E, n_chunks, C)
-    Xj_p = pad_pts(Xj_all).reshape(E, n_chunks, C, 3)
-    Cj_p = pad_pts(Cj_all).reshape(E, n_chunks, C)
+    def to_chunks(x):
+        x = pad_pts(x)
+        x = x.reshape((E, n_chunks, C) + x.shape[2:])
+        return jnp.moveaxis(x, 1, 0)
 
-    def chunk(carry, inputs):
+    inputs = (
+        to_chunks(safe_idx_all), to_chunks(valid_match), to_chunks(Q),
+        to_chunks(Xi_all), to_chunks(Ci_all),
+        to_chunks(Xj_all), to_chunks(Cj_all),
+    )
+
+    def chunk(carry, chunk_in):
         H_acc, g_acc = carry
-        idx_c, vm_c, Q_c, Xj_c, Cj_c = inputs
-        safe_idx = jnp.where(vm_c, idx_c, 0)
-        Xi_c, Ci_c = _gather_points(Xs, Cs, ii, safe_idx)
+        idx_c, vm_c, Q_c, Xi_c, Ci_c, Xj_c, Cj_c = chunk_in
 
         err, J_theta, sqrt_w_rows, extra_valid = residual_fn(
-            Tij, Xj_c, Xi_c, safe_idx)
+            Tij, Xj_c.transpose(0, 2, 1), Xi_c.transpose(0, 2, 1), idx_c)
 
-        Jj = sim3.apply_adj_inv_T(Ti[:, None, None, :], J_theta)
-        J = jnp.concatenate([-Jj, Jj], axis=-1)          # (E, C, r, 14)
+        Jj = _apply_adj_inv_T_t(Ti, J_theta)
+        J = jnp.concatenate([-Jj, Jj], axis=2)           # (E, r, 14, C)
 
         valid = (
             vm_c
@@ -118,97 +225,104 @@ def _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
             & (Cj_c > cfg.C_conf)
             & extra_valid
         )
-        sqrt_w = jnp.where(valid[..., None],
-                           sqrt_w_rows * jnp.sqrt(Q_c)[..., None], 0.0)
+        sqrt_w = jnp.where(valid[:, None, :],
+                           sqrt_w_rows * jnp.sqrt(Q_c)[:, None, :], 0.0)
         w = robust.huber(sqrt_w * err) * sqrt_w * sqrt_w
         w = w * edge_mask[:, None, None]
 
-        wJ = (w[..., None] * J).reshape(E, C * n_rows, 14)
-        Jf = J.reshape(E, C * n_rows, 14)
+        wJ = w[:, :, None, :] * J
         H_acc = H_acc + jnp.einsum(
-            "eck,ecl->ekl", wJ, Jf, preferred_element_type=jnp.float32
+            "erik,erjk->eij", wJ, J, preferred_element_type=jnp.float32
         )
         g_acc = g_acc + jnp.einsum(
-            "ecr,ecr,ecrk->ek", w, err, J, preferred_element_type=jnp.float32
+            "erk,erik->ei", w * err, J, preferred_element_type=jnp.float32
         )
         return (H_acc, g_acc), None
 
     init = (jnp.zeros((E, 14, 14)), jnp.zeros((E, 14)))
-    inputs = (
-        idx_p.transpose(1, 0, 2),
-        vm_p.transpose(1, 0, 2),
-        Q_p.transpose(1, 0, 2),
-        Xj_p.transpose(1, 0, 2, 3),
-        Cj_p.transpose(1, 0, 2),
-    )
     (H, g), _ = jax.lax.scan(chunk, init, inputs)
     return H, g
 
 
+def _edge_prep(Xs, Cs, ii, jj, idx, valid_match):
+    """Loop-invariant per-edge data: gathered matched points + confs."""
+    safe_idx = jnp.where(valid_match, idx, 0)
+    Xi, Ci = _gather_points(Xs, Cs, ii, safe_idx)
+    return (Xi, Ci, Xs[jj], Cs[jj], safe_idx)
+
+
 def _edge_terms_rays(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
-                     cfg: BAConfig):
+                     cfg: BAConfig, pre=None):
     """Ray+dist residual (spec: ray_align_kernel). H layout: rows/cols
     0:7 = pose i, 7:14 = pose j."""
-    sigma = jnp.array([1.0 / cfg.sigma_ray] * 3 + [1.0 / cfg.sigma_dist])
+    sigma = jnp.array([1.0 / cfg.sigma_ray] * 3 +
+                      [1.0 / cfg.sigma_dist])[None, :, None]
 
-    def residual(Tij, Xj_c, Xi_c, safe_idx):
-        rd_i = geometry.point_to_ray_dist(Xi_c)
-        Xj_Ci = geometry.act_Sim3(Tij[:, None, :], Xj_c)
-        rd_j = geometry.point_to_ray_dist(Xj_Ci)
+    def residual(Tij, Xj_t, Xi_t, safe_idx):
+        rd_i, _, _ = _ray_dist_t_b(Xi_t)
+        Y = _act_t_b(Tij, Xj_t)
+        rd_j, d, r = _ray_dist_t_b(Y)
         err = rd_j - rd_i
-        J_theta = geometry.ray_dist_pose_jacobian(Xj_Ci)
-        ones = jnp.ones(Xj_c.shape[:-1], bool)
+        J_theta = _ray_jac_t_b(d, r)
+        ones = jnp.ones(safe_idx.shape, bool)
         return err, J_theta, sigma, ones
 
     return _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
-                       cfg, residual, n_rows=4)
+                       cfg, residual, n_rows=4, pre=pre)
 
 
 def _edge_terms_points(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
-                       cfg: BAConfig):
+                       cfg: BAConfig, pre=None):
     """3D point-difference residual (spec: point_align_kernel,
     gn_kernels.cu:455-723 — exported by the reference backend though unused
     by its driver)."""
-    sigma = jnp.full((3,), 1.0 / cfg.sigma_point)
+    sigma = jnp.full((3,), 1.0 / cfg.sigma_point)[None, :, None]
 
-    def residual(Tij, Xj_c, Xi_c, safe_idx):
-        Xj_Ci = geometry.act_Sim3(Tij[:, None, :], Xj_c)
-        err = Xj_Ci - Xi_c
-        I = jnp.broadcast_to(jnp.eye(3), Xj_Ci.shape[:-1] + (3, 3))
-        J_theta = jnp.concatenate(
-            [I, -sim3.skew(Xj_Ci), Xj_Ci[..., :, None]], axis=-1)
-        ones = jnp.ones(Xj_c.shape[:-1], bool)
+    def residual(Tij, Xj_t, Xi_t, safe_idx):
+        Y = _act_t_b(Tij, Xj_t)
+        err = Y - Xi_t
+        J_theta = _point_jac_t_b(Y)
+        ones = jnp.ones(safe_idx.shape, bool)
         return err, J_theta, sigma, ones
 
     return _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
-                       cfg, residual, n_rows=3)
+                       cfg, residual, n_rows=3, pre=pre)
 
 
 def _edge_terms_calib(T_WCs, Xs, Cs, K_mat, ii, jj, idx, valid_match, Q,
-                      edge_mask, img_size, cfg: BAConfig):
+                      edge_mask, img_size, cfg: BAConfig, pre=None):
     """Pixel + log-depth residual (spec: calib_proj_kernel)."""
     h, w = img_size
-    sigma = jnp.array([1.0 / cfg.sigma_pixel] * 2 + [1.0 / cfg.sigma_depth])
+    fx, fy, cx, cy = geometry.decompose_K(K_mat)
+    sigma = jnp.array([1.0 / cfg.sigma_pixel] * 2 +
+                      [1.0 / cfg.sigma_depth])[None, :, None]
+    border, z_eps = cfg.pixel_border, cfg.depth_eps
 
-    def residual(Tij, Xj_c, Xi_c, safe_idx):
-        u_t = (safe_idx % w).astype(Xj_c.dtype)
-        v_t = (safe_idx // w).astype(Xj_c.dtype)
-        Xj_Ci = geometry.act_Sim3(Tij[:, None, :], Xj_c)
-        pz, valid_proj = geometry.project_calib(
-            Xj_Ci, K_mat, img_size, border=cfg.pixel_border,
-            z_eps=cfg.depth_eps,
+    def residual(Tij, Xj_t, Xi_t, safe_idx):
+        u_t = (safe_idx % w).astype(Xj_t.dtype)
+        v_t = (safe_idx // w).astype(Xj_t.dtype)
+        Y = _act_t_b(Tij, Xj_t)
+        x, y, zc = Y[:, 0], Y[:, 1], Y[:, 2]
+        valid_z = zc > z_eps
+        z_safe = jnp.where(valid_z, zc, 1.0)
+        z_inv = 1.0 / z_safe
+        u = fx * x * z_inv + cx
+        v = fy * y * z_inv + cy
+        valid_proj = (
+            (u > border) & (u < w - 1 - border)
+            & (v > border) & (v < h - 1 - border) & valid_z
         )
-        zi = Xi_c[..., 2]
-        valid_zi = zi > cfg.depth_eps
+        logz = jnp.where(valid_z, jnp.log(z_safe), 0.0)
+        zi = Xi_t[:, 2]
+        valid_zi = zi > z_eps
         log_zi = jnp.where(valid_zi,
                            jnp.log(jnp.where(valid_zi, zi, 1.0)), 0.0)
-        err = pz - jnp.stack([u_t, v_t, log_zi], axis=-1)
-        J_theta = geometry.calib_pose_jacobian(Xj_Ci, K_mat,
-                                               z_eps=cfg.depth_eps)
-        return err, J_theta, sigma, valid_proj[..., 0] & valid_zi
+        err = jnp.stack([u - u_t, v - v_t, logz - log_zi], axis=1)
+        J_theta = _calib_jac_t_b(Y, K_mat, z_eps)
+        return err, J_theta, sigma, valid_proj & valid_zi
 
     return _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
-                       cfg, residual, n_rows=3)
+                       cfg, residual, n_rows=3, pre=pre)
 
 
 def _assemble(H_edges, g_edges, ii, jj, n_kf, K_cap, pin):
@@ -293,11 +407,12 @@ def gauss_newton_rays(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     Returns updated (K_cap, 8) poses.
     """
     K_cap = T_WCs.shape[0]
+    pre = _edge_prep(Xs, Cs, ii, jj, idx_ii2jj, valid_match)
 
     def body(state):
         T, it, done = state
         H, g = _edge_terms_rays(T, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
-                                edge_mask, cfg)
+                                edge_mask, cfg, pre=pre)
         dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin)
         T_new = sim3.retr(T, dx)
         T = jnp.where(free[:, None], T_new, T)
@@ -320,11 +435,12 @@ def gauss_newton_points(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     """Global GN on 3D point-difference residuals (spec:
     gauss_newton_points_cuda, gn_kernels.cu:725-811)."""
     K_cap = T_WCs.shape[0]
+    pre = _edge_prep(Xs, Cs, ii, jj, idx_ii2jj, valid_match)
 
     def body(state):
         T, it, done = state
         H, g = _edge_terms_points(T, Xs, Cs, ii, jj, idx_ii2jj, valid_match,
-                                  Q, edge_mask, cfg)
+                                  Q, edge_mask, cfg, pre=pre)
         dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin)
         T_new = sim3.retr(T, dx)
         T = jnp.where(free[:, None], T_new, T)
@@ -350,11 +466,13 @@ def gauss_newton_calib(T_WCs, Xs, Cs, K_mat, ii, jj, idx_ii2jj, valid_match,
     (geometry.constrain_points_to_ray), as in global_opt.py:168-170.
     """
     K_cap = T_WCs.shape[0]
+    pre = _edge_prep(Xs, Cs, ii, jj, idx_ii2jj, valid_match)
 
     def body(state):
         T, it, done = state
         H, g = _edge_terms_calib(T, Xs, Cs, K_mat, ii, jj, idx_ii2jj,
-                                 valid_match, Q, edge_mask, img_size, cfg)
+                                 valid_match, Q, edge_mask, img_size, cfg,
+                                 pre=pre)
         dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin)
         T_new = sim3.retr(T, dx)
         T = jnp.where(free[:, None], T_new, T)

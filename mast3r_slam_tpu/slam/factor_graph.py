@@ -203,28 +203,62 @@ class FactorGraph:
 
     # -- solvers -------------------------------------------------------------
 
+    def _buckets(self):
+        """Power-of-two capacity buckets for the active edge/keyframe counts.
+
+        The BA kernels are compiled per (E, K) shape; padding the ACTIVE
+        counts to the next power of two (instead of always running at full
+        capacity) makes a typical small solve ~capacity/E_active times
+        cheaper while compiling each bucket only once.
+        """
+        def bucket(n, cap, floor=8):
+            b = floor
+            while b < n:
+                b *= 2
+            return min(b, cap)
+
+        Eb = bucket(self.n_edges, self.cfg.edge_capacity)
+        Kb = bucket(len(self.frames), self.frames.capacity)
+        return Eb, Kb
+
+    def _adopt_poses(self, T, Kb):
+        self.frames.update_T_WCs(_merge_rows(self.frames.T_WC, T)
+                                 if Kb < self.frames.capacity else T)
+
     def solve_GN_rays(self):
         if self.n_edges == 0 or len(self.frames) <= self.ba_cfg.pin:
             return
+        Eb, Kb = self._buckets()
         T = ba.gauss_newton_rays(
-            self.frames.T_WC, self.frames.X, self.frames.average_confs(),
-            self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
-            self.edge_mask, jnp.asarray(len(self.frames)), self.ba_cfg,
+            self.frames.T_WC[:Kb], self.frames.X[:Kb],
+            self.frames.average_confs()[:Kb],
+            self.ii[:Eb], self.jj[:Eb], self.idx_ii2jj[:Eb],
+            self.valid_match[:Eb], self.Q[:Eb],
+            self.edge_mask[:Eb], jnp.asarray(len(self.frames)), self.ba_cfg,
         )
-        self.frames.update_T_WCs(T)
+        self._adopt_poses(T, Kb)
 
     def solve_GN_calib(self):
         if self.n_edges == 0 or len(self.frames) <= self.ba_cfg.pin:
             return
         img_size = (self.frames.h, self.frames.w)
-        Xs = constrain_all(self.frames.X, self.K, img_size)
+        Eb, Kb = self._buckets()
+        Xs = constrain_all(self.frames.X[:Kb], self.K, img_size)
         T = ba.gauss_newton_calib(
-            self.frames.T_WC, Xs, self.frames.average_confs(), self.K,
-            self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
-            self.edge_mask, jnp.asarray(len(self.frames)), img_size,
+            self.frames.T_WC[:Kb], Xs, self.frames.average_confs()[:Kb],
+            self.K,
+            self.ii[:Eb], self.jj[:Eb], self.idx_ii2jj[:Eb],
+            self.valid_match[:Eb], self.Q[:Eb],
+            self.edge_mask[:Eb], jnp.asarray(len(self.frames)), img_size,
             self.ba_cfg,
         )
-        self.frames.update_T_WCs(T)
+        self._adopt_poses(T, Kb)
+
+
+@jax.jit
+def _merge_rows(buf, rows):
+    """Write the leading rows of ``buf`` (bucketed BA result adoption)."""
+    return jax.lax.dynamic_update_slice_in_dim(buf, rows, 0, axis=0)
 
 
 @partial(jax.jit, static_argnames=("img_size",))
