@@ -34,7 +34,7 @@ def main():
     # accuracy tradeoffs; reference-parity settings run ~40% slower)
     cfg = MASt3RConfig(img_size=(h, w), dtype="bfloat16",
                        head_dtype="bfloat16")
-    mcfg = MatchingConfig(dilation_max=2)
+    mcfg = MatchingConfig(dilation_max=2, max_iter=6, subpixel=True)
     tcfg = tracker_mod.TrackerConfig()
 
     key = jax.random.PRNGKey(0)
@@ -45,23 +45,27 @@ def main():
     jax.block_until_ready(feat_k)
 
     @jax.jit
-    def frame_step(params, img, feat_k, pos_k, idx_init):
+    def frame_step(params, img, feat_k, pos_k, idx_init, acc):
         feat_f, pos_f = mast3r.encode(params, img, cfg)
         X, C, D, Q = mast3r.inference_asymmetric(
             params, feat_f, pos_f, feat_k, pos_k, cfg)
-        idx, valid = matching.match(X[0:1], X[1:2], D[0:1], D[1:2],
-                                    idx_1_to_2_init=idx_init,
-                                    **mcfg._asdict())
+        idx, valid, p_sub = matching.match(X[0:1], X[1:2], D[0:1], D[1:2],
+                                           idx_1_to_2_init=idx_init,
+                                           **mcfg._asdict())
         hw = h * w
         Xff = X[0:1].reshape(hw, 3)
         Xkf = X[1:2].reshape(hw, 3)
         Qff = Q[0:1].reshape(hw)
         Qkf = Q[1:2].reshape(hw)
         Qk = jnp.sqrt(Qff[idx[0]] * Qkf)[:, None]
-        Xf = jnp.take(Xff, idx[0], axis=0)
+        # subpixel correspondence interpolation (as in the fused system path)
+        unf = matching._unfold_pairs(X[0:1])
+        u = jnp.clip(p_sub[:, :, 0], 0.0, w - 1.001)
+        v = jnp.clip(p_sub[:, :, 1], 0.0, h - 1.001)
+        Xf = matching._bilinear_gather(unf, u, v, w, h, 3)[0]
         res = tracker_mod.opt_pose_ray_dist_sim3(
             Xf, Xkf, sim3.identity(), Qk, valid[0], tcfg)
-        return idx, res.T_CkCf
+        return idx, acc + res.T_CkCf
 
     n_frames = 10
     # pre-extract per-frame arrays so no eager slice ops (each a fresh
@@ -69,28 +73,26 @@ def main():
     imgs = [jax.random.normal(jax.random.fold_in(key, 10 + i), (1, h, w, 3))
             for i in range(n_frames)]
 
-    @jax.jit
-    def accum(acc, T):
-        return acc + T
-
     # warm up BOTH compile variants on images DISJOINT from the timed set
     # (the relay backend serves bit-identical inputs from a cache,
-    # DEVELOPMENT.md quirk 4)
+    # DEVELOPMENT.md quirk 4). The pose accumulator is folded INTO the
+    # frame step: exactly ONE dispatch per frame (each dispatch costs
+    # ~30 ms through the tunnel, DEVELOPMENT.md quirk 5).
     warm0 = jax.random.normal(jax.random.fold_in(key, 100), (1, h, w, 3))
     warm1 = jax.random.normal(jax.random.fold_in(key, 101), (1, h, w, 3))
-    idx0, T = frame_step(params, warm0, feat_k, pos_k, None)
-    acc = accum(jnp.zeros((8,)), T)
-    device_sync(acc)
-    idx1, T = frame_step(params, warm1, feat_k, pos_k, idx0)
-    device_sync(T)
+    acc = jnp.zeros((8,))
+    idx0, acc0 = frame_step(params, warm0, feat_k, pos_k, None, acc)
+    device_sync(acc0)
+    idx1, acc1 = frame_step(params, warm1, feat_k, pos_k, idx0, acc)
+    device_sync(acc1)
 
     # steady state: distinct frames, warm-start chained like the frontend
     t0 = time.time()
     idx_cur = idx1
     acc = jnp.zeros((8,))
     for i in range(n_frames):
-        idx_cur, T = frame_step(params, imgs[i], feat_k, pos_k, idx_cur)
-        acc = accum(acc, T)
+        idx_cur, acc = frame_step(params, imgs[i], feat_k, pos_k, idx_cur,
+                                  acc)
     device_sync(acc)   # real sync; block_until_ready is unreliable here
     elapsed = time.time() - t0
     fps = n_frames / elapsed

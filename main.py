@@ -144,6 +144,9 @@ def main(argv=None):
                                   factor_graph=system.factor_graph)
             viz.keyframe_mosaic(system.keyframes,
                                 save_dir / f"{seq_name}_keyframes.png")
+            viz.export_html_viewer(system.keyframes,
+                                   save_dir / f"{seq_name}_viewer.html",
+                                   factor_graph=system.factor_graph)
         print(f"saved results under {save_dir}")
 
 

@@ -215,6 +215,54 @@ class Webcam(MonocularDataset):
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+class RealsenseDataset(MonocularDataset):
+    """Live Intel RealSense color stream (spec: dataloader.py:151-205).
+
+    Gated on ``pyrealsense2`` (not present in every image): raises a clear
+    ImportError at construction. Streams 640x480 RGB at 30 Hz, disables
+    auto-exposure like the reference, and exposes the factory intrinsics
+    via ``camera_intrinsics`` when ``use_calib`` is set.
+    """
+
+    def __init__(self, use_calib=False, img_size=512, **_):
+        super().__init__()
+        try:
+            import pyrealsense2 as rs
+        except ImportError as e:
+            raise ImportError(
+                "RealsenseDataset requires pyrealsense2 (pip install "
+                "pyrealsense2); not available in this environment") from e
+        self.rs = rs
+        self.pipeline = rs.pipeline()
+        cfg = rs.config()
+        cfg.enable_stream(rs.stream.color, 640, 480, rs.format.rgb8, 30)
+        profile = self.pipeline.start(cfg)
+        sensor = profile.get_device().query_sensors()[1]
+        sensor.set_option(rs.option.enable_auto_exposure, False)
+        sensor.set_option(rs.option.exposure, 78.0)
+        intr = (profile.get_stream(rs.stream.color)
+                .as_video_stream_profile().get_intrinsics())
+        self.save_results = False
+        self._i = 0
+        if use_calib:
+            calib = [intr.fx, intr.fy, intr.ppx, intr.ppy]
+            self.camera_intrinsics = Intrinsics.from_calib(
+                img_size, intr.width, intr.height, calib, use_calib=True)
+            self.use_calibration = True
+
+    def __len__(self):
+        return 999999
+
+    def read_img(self, idx):
+        frames = self.pipeline.wait_for_frames()
+        img = np.asanyarray(frames.get_color_frame().get_data())
+        self.timestamps.append(self._i / 30.0)
+        self._i += 1
+        if getattr(self, "camera_intrinsics", None) is not None:
+            img = self.camera_intrinsics.remap(img)
+        return img
+
+
 def _natkey(s):
     return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
 
@@ -279,6 +327,8 @@ def load_dataset(dataset_path: str, use_calib=False,
         return SevenScenesDataset(dataset_path, **kw)
     if "webcam" in parts:
         return Webcam()
+    if "realsense" in parts:
+        return RealsenseDataset(use_calib=use_calib)
     ext = parts[-1].split(".")[-1].lower()
     if ext in ("mp4", "avi", "mov"):
         return MP4Dataset(dataset_path, subsample=subsample)

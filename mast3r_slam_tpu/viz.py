@@ -119,3 +119,163 @@ def keyframe_mosaic(keyframes, out_path, max_tiles=16):
     fig.savefig(out_path, dpi=100)
     plt.close(fig)
     return out_path
+
+
+def export_html_viewer(keyframes, out_path, c_conf_threshold=1.5,
+                       max_points=600_000, factor_graph=None):
+    """Interactive WebGL point-cloud viewer in ONE self-contained HTML file.
+
+    TPU-native stand-in for the reference's live moderngl window
+    (/root/reference/mast3r_slam/visualization.py:98-380): the fused,
+    confidence-thresholded world point cloud, keyframe frustums and
+    factor-graph edges, with orbit/pan/zoom and a point-size slider —
+    viewable in any browser with no server and no external JS deps.
+    """
+    from .lie import sim3
+
+    n = len(keyframes)
+    pts_all, col_all = [], []
+    avg_C = np.asarray(keyframes.average_confs()[:n])
+    for i in range(n):
+        pW = np.asarray(sim3.act(keyframes.T_WC[i], keyframes.X[i]))
+        col = np.asarray(keyframes.uimg[i]).reshape(-1, 3)
+        valid = avg_C[i].reshape(-1) > c_conf_threshold
+        pts_all.append(pW[valid])
+        col_all.append(col[valid])
+    pts = np.concatenate(pts_all, 0) if pts_all else np.zeros((0, 3))
+    cols = np.concatenate(col_all, 0) if col_all else np.zeros((0, 3))
+    if len(pts) > max_points:
+        sel = np.random.default_rng(0).choice(len(pts), max_points,
+                                              replace=False)
+        pts, cols = pts[sel], cols[sel]
+
+    T = np.asarray(keyframes.T_WC[:n])
+    # frustum wireframes (5 lines each) in world coords
+    lines = []
+    fr = np.array([[0, 0, 0], [-.5, -.375, 1], [.5, -.375, 1],
+                   [.5, .375, 1], [-.5, .375, 1]]) * 0.15
+    import jax.numpy as jnp
+    for i in range(n):
+        c = np.asarray(sim3.act(keyframes.T_WC[i], jnp.asarray(fr)))
+        for a, b in [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3),
+                     (3, 4), (4, 1)]:
+            lines.append((c[a], c[b], (0.2, 0.9, 0.2)))
+    for i in range(1, n):
+        lines.append((T[i - 1, :3], T[i, :3], (0.9, 0.2, 0.2)))
+    if factor_graph is not None and factor_graph.n_edges:
+        ii = np.asarray(factor_graph.ii[: factor_graph.n_edges])
+        jj = np.asarray(factor_graph.jj[: factor_graph.n_edges])
+        for a, b in zip(ii, jj):
+            lines.append((T[a, :3], T[b, :3], (0.9, 0.9, 0.1)))
+
+    import base64
+
+    def b64(a):
+        return base64.b64encode(np.ascontiguousarray(a).tobytes()).decode()
+
+    lp = np.array([np.concatenate([a, b]) for a, b, _ in lines],
+                  np.float32).reshape(-1, 3) if lines else np.zeros((0, 3),
+                                                                    np.float32)
+    lc = np.array([[c, c] for _, _, c in lines],
+                  np.float32).reshape(-1, 3) if lines else np.zeros((0, 3),
+                                                                    np.float32)
+    center = pts.mean(0) if len(pts) else np.zeros(3)
+    scale = float(np.percentile(np.linalg.norm(pts - center, axis=1), 90)
+                  ) if len(pts) else 1.0
+
+    html = _VIEWER_HTML.replace("__NPTS__", str(len(pts)))
+    html = html.replace("__NLINES__", str(len(lp)))
+    html = html.replace("__PTS__", b64(pts.astype(np.float32)))
+    html = html.replace("__COLS__", b64((np.clip(cols, 0, 1) * 255)
+                                        .astype(np.uint8)))
+    html = html.replace("__LPTS__", b64(lp))
+    html = html.replace("__LCOLS__", b64((lc * 255).astype(np.uint8)))
+    html = html.replace("__CENTER__", f"[{center[0]},{center[1]},{center[2]}]")
+    html = html.replace("__SCALE__", f"{max(scale, 1e-3)}")
+
+    out_path = pathlib.Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(html)
+    return out_path
+
+
+_VIEWER_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>mast3r_slam_tpu reconstruction</title>
+<style>body{margin:0;background:#000;color:#ccc;font:12px monospace;overflow:hidden}
+#hud{position:fixed;top:8px;left:8px;z-index:2;background:#000a;padding:6px}
+canvas{display:block}</style></head><body>
+<div id="hud">points: __NPTS__ &nbsp; drag=orbit, shift-drag=pan, wheel=zoom
+&nbsp; size <input id="psz" type="range" min="1" max="6" value="2" step="0.5"></div>
+<canvas id="c"></canvas>
+<script>
+"use strict";
+function dec(b64){const s=atob(b64);const a=new Uint8Array(s.length);
+for(let i=0;i<s.length;i++)a[i]=s.charCodeAt(i);return a;}
+const NP=__NPTS__, NL=__NLINES__;
+const pts=new Float32Array(dec("__PTS__").buffer);
+const cols=dec("__COLS__");
+const lpts=new Float32Array(dec("__LPTS__").buffer);
+const lcols=dec("__LCOLS__");
+const center=__CENTER__, scale=__SCALE__;
+const cv=document.getElementById("c");
+const gl=cv.getContext("webgl");
+const vs=`attribute vec3 p;attribute vec3 col;uniform mat4 mvp;
+uniform float psz;varying vec3 vc;
+void main(){gl_Position=mvp*vec4(p,1.0);gl_PointSize=psz;vc=col;}`;
+const fs=`precision mediump float;varying vec3 vc;
+void main(){gl_FragColor=vec4(vc,1.0);}`;
+function sh(t,s){const o=gl.createShader(t);gl.shaderSource(o,s);
+gl.compileShader(o);return o;}
+const pr=gl.createProgram();
+gl.attachShader(pr,sh(gl.VERTEX_SHADER,vs));
+gl.attachShader(pr,sh(gl.FRAGMENT_SHADER,fs));
+gl.linkProgram(pr);gl.useProgram(pr);
+const aP=gl.getAttribLocation(pr,"p"),aC=gl.getAttribLocation(pr,"col");
+const uM=gl.getUniformLocation(pr,"mvp"),uS=gl.getUniformLocation(pr,"psz");
+function buf(data){const b=gl.createBuffer();
+gl.bindBuffer(gl.ARRAY_BUFFER,b);gl.bufferData(gl.ARRAY_BUFFER,data,gl.STATIC_DRAW);return b;}
+const bP=buf(pts),bC=buf(cols),bLP=buf(lpts),bLC=buf(lcols);
+let az=0.5,el=0.4,dist=scale*3,tgt=center.slice();
+function mat(){const w=cv.width,h=cv.height,f=1.5;const a=w/h;
+const ca=Math.cos(az),sa=Math.sin(az),ce=Math.cos(el),se=Math.sin(el);
+const eye=[tgt[0]+dist*ce*sa,tgt[1]+dist*se,tgt[2]+dist*ce*ca];
+const zx=eye[0]-tgt[0],zy=eye[1]-tgt[1],zz=eye[2]-tgt[2];
+const zl=Math.hypot(zx,zy,zz);const z=[zx/zl,zy/zl,zz/zl];
+const x=[z[2],0,-z[0]];const xl=Math.hypot(...x);x[0]/=xl;x[1]/=xl;x[2]/=xl;
+const y=[z[1]*x[2]-z[2]*x[1],z[2]*x[0]-z[0]*x[2],z[0]*x[1]-z[1]*x[0]];
+const n=0.01*scale,fa=100*scale;
+const view=[x[0],y[0],z[0],0,x[1],y[1],z[1],0,x[2],y[2],z[2],0,
+-(x[0]*eye[0]+x[1]*eye[1]+x[2]*eye[2]),
+-(y[0]*eye[0]+y[1]*eye[1]+y[2]*eye[2]),
+-(z[0]*eye[0]+z[1]*eye[1]+z[2]*eye[2]),1];
+const proj=[f/a,0,0,0, 0,f,0,0, 0,0,(fa+n)/(n-fa),-1, 0,0,2*fa*n/(n-fa),0];
+const m=new Float32Array(16);
+for(let i=0;i<4;i++)for(let j=0;j<4;j++){let s=0;
+for(let k=0;k<4;k++)s+=view[i*4+k]*proj[k*4+j];m[i*4+j]=s;}
+return m;}
+function draw(){cv.width=innerWidth;cv.height=innerHeight;
+gl.viewport(0,0,cv.width,cv.height);
+gl.clearColor(0,0,0,1);gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
+gl.enable(gl.DEPTH_TEST);
+gl.uniformMatrix4fv(uM,false,mat());
+gl.uniform1f(uS,parseFloat(document.getElementById("psz").value));
+gl.bindBuffer(gl.ARRAY_BUFFER,bP);
+gl.enableVertexAttribArray(aP);gl.vertexAttribPointer(aP,3,gl.FLOAT,false,0,0);
+gl.bindBuffer(gl.ARRAY_BUFFER,bC);
+gl.enableVertexAttribArray(aC);gl.vertexAttribPointer(aC,3,gl.UNSIGNED_BYTE,true,0,0);
+gl.drawArrays(gl.POINTS,0,NP);
+gl.bindBuffer(gl.ARRAY_BUFFER,bLP);gl.vertexAttribPointer(aP,3,gl.FLOAT,false,0,0);
+gl.bindBuffer(gl.ARRAY_BUFFER,bLC);gl.vertexAttribPointer(aC,3,gl.UNSIGNED_BYTE,true,0,0);
+gl.drawArrays(gl.LINES,0,NL);
+requestAnimationFrame(draw);}
+let drag=false,pan=false,lx=0,ly=0;
+cv.onmousedown=e=>{drag=true;pan=e.shiftKey;lx=e.clientX;ly=e.clientY;};
+onmouseup=()=>drag=false;
+onmousemove=e=>{if(!drag)return;const dx=e.clientX-lx,dy=e.clientY-ly;
+lx=e.clientX;ly=e.clientY;
+if(pan){const s=dist*0.002;tgt[0]-=dx*s*Math.cos(az);tgt[2]+=dx*s*Math.sin(az);
+tgt[1]+=dy*s;}else{az-=dx*0.005;el=Math.max(-1.5,Math.min(1.5,el+dy*0.005));}};
+onwheel=e=>{dist*=Math.exp(e.deltaY*0.001);};
+draw();
+</script></body></html>
+"""

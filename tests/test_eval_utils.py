@@ -108,3 +108,55 @@ def test_viz_smoke(tmp_path):
     p3 = viz.keyframe_mosaic(system.keyframes, tmp_path / "mosaic.png")
     for p in (p1, p2, p3):
         assert p is not None and p.exists() and p.stat().st_size > 1000
+
+
+def _toy_keyframes(n=3, h=8, w=12):
+    import jax.numpy as jnp
+
+    from mast3r_slam_tpu.slam.frame import KeyframeStore
+
+    P = h * w
+    kfs = KeyframeStore(4, P, 6, 16, (h, w), donate=False)
+    rng = np.random.default_rng(0)
+    kfs.n_size = n
+    X = rng.standard_normal((n, P, 3)).astype(np.float32) + [0, 0, 3]
+    kfs.X = kfs.X.at[:n].set(jnp.asarray(X))
+    kfs.C = kfs.C.at[:n].set(5.0)
+    kfs.N = kfs.N.at[:n].set(1)
+    T = np.tile([0, 0, 0, 0, 0, 0, 1, 1.0], (n, 1)).astype(np.float32)
+    T[:, 0] = np.arange(n) * 0.1
+    kfs.T_WC = jnp.asarray(np.concatenate(
+        [T, np.tile([0, 0, 0, 0, 0, 0, 1, 1.0], (1, 1))], 0
+    ).astype(np.float32)) if n == 4 else kfs.T_WC.at[:n].set(jnp.asarray(T))
+    kfs.uimg[:n] = rng.uniform(0, 1, (n, h, w, 3)).astype(np.float32)
+    return kfs
+
+
+def test_html_viewer_export(tmp_path):
+    """The self-contained WebGL viewer embeds the full reconstruction."""
+    import base64
+
+    from mast3r_slam_tpu import viz
+
+    kfs = _toy_keyframes()
+    out = viz.export_html_viewer(kfs, tmp_path / "viewer.html",
+                                 c_conf_threshold=1.0)
+    html = out.read_text()
+    assert "<canvas" in html and "webgl" in html
+    assert "__PTS__" not in html  # all placeholders substituted
+    # decode the embedded point buffer and check the point count line up
+    import re as _re
+
+    npts = int(_re.search(r"points: (\d+)", html).group(1))
+    assert npts == 3 * 8 * 12
+    b64 = _re.search(r'Float32Array\(dec\("([^"]*)"\)', html).group(1)
+    pts = np.frombuffer(base64.b64decode(b64), np.float32).reshape(-1, 3)
+    assert pts.shape[0] == npts
+    assert np.isfinite(pts).all()
+
+
+def test_realsense_adapter_gated():
+    from mast3r_slam_tpu.io.datasets import RealsenseDataset
+
+    with pytest.raises(ImportError, match="pyrealsense2"):
+        RealsenseDataset()
