@@ -34,7 +34,7 @@ def main():
     # accuracy tradeoffs; reference-parity settings run ~40% slower)
     cfg = MASt3RConfig(img_size=(h, w), dtype="bfloat16",
                        head_dtype="bfloat16")
-    mcfg = MatchingConfig(dilation_max=2, max_iter=6, subpixel=True)
+    mcfg = MatchingConfig(dilation_max=1, max_iter=6)
     tcfg = tracker_mod.TrackerConfig()
 
     key = jax.random.PRNGKey(0)
@@ -49,20 +49,27 @@ def main():
         feat_f, pos_f = mast3r.encode(params, img, cfg)
         X, C, D, Q = mast3r.inference_asymmetric(
             params, feat_f, pos_f, feat_k, pos_k, cfg)
-        idx, valid, p_sub = matching.match(X[0:1], X[1:2], D[0:1], D[1:2],
-                                           idx_1_to_2_init=idx_init,
-                                           **mcfg._asdict())
+        out = matching.match(X[0:1], X[1:2], D[0:1], D[1:2],
+                             idx_1_to_2_init=idx_init, **mcfg._asdict())
+        if mcfg.subpixel:
+            idx, valid, p_sub = out
+        else:
+            idx, valid = out
+            p_sub = None
         hw = h * w
         Xff = X[0:1].reshape(hw, 3)
         Xkf = X[1:2].reshape(hw, 3)
         Qff = Q[0:1].reshape(hw)
         Qkf = Q[1:2].reshape(hw)
         Qk = jnp.sqrt(Qff[idx[0]] * Qkf)[:, None]
-        # subpixel correspondence interpolation (as in the fused system path)
-        unf = matching._unfold_pairs(X[0:1])
-        u = jnp.clip(p_sub[:, :, 0], 0.0, w - 1.001)
-        v = jnp.clip(p_sub[:, :, 1], 0.0, h - 1.001)
-        Xf = matching._bilinear_gather(unf, u, v, w, h, 3)[0]
+        if p_sub is not None:
+            # subpixel correspondence interpolation (fused system path)
+            unf = matching._unfold_pairs(X[0:1])
+            u = jnp.clip(p_sub[:, :, 0], 0.0, w - 1.001)
+            v = jnp.clip(p_sub[:, :, 1], 0.0, h - 1.001)
+            Xf = matching._bilinear_gather(unf, u, v, w, h, 3)[0]
+        else:
+            Xf = jnp.take(Xff, idx[0], axis=0)
         res = tracker_mod.opt_pose_ray_dist_sim3(
             Xf, Xkf, sim3.identity(), Qk, valid[0], tcfg)
         return idx, acc + res.T_CkCf
