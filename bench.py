@@ -34,7 +34,7 @@ def main():
     # accuracy tradeoffs; reference-parity settings run ~40% slower)
     cfg = MASt3RConfig(img_size=(h, w), dtype="bfloat16",
                        head_dtype="bfloat16")
-    mcfg = MatchingConfig(dilation_max=1, max_iter=6)
+    mcfg = MatchingConfig(dilation_max=1, max_iter=5, radius=2)
     tcfg = tracker_mod.TrackerConfig()
 
     key = jax.random.PRNGKey(0)
@@ -61,15 +61,19 @@ def main():
         Xkf = X[1:2].reshape(hw, 3)
         Qff = Q[0:1].reshape(hw)
         Qkf = Q[1:2].reshape(hw)
-        Qk = jnp.sqrt(Qff[idx[0]] * Qkf)[:, None]
         if p_sub is not None:
             # subpixel correspondence interpolation (fused system path)
             unf = matching._unfold_pairs(X[0:1])
             u = jnp.clip(p_sub[:, :, 0], 0.0, w - 1.001)
             v = jnp.clip(p_sub[:, :, 1], 0.0, h - 1.001)
             Xf = matching._bilinear_gather(unf, u, v, w, h, 3)[0]
+            Qk = jnp.sqrt(jnp.take(Qff, idx[0], axis=0) * Qkf)[:, None]
         else:
-            Xf = jnp.take(Xff, idx[0], axis=0)
+            # one fused 4-wide gather: frame points + desc-conf
+            g = jnp.take(jnp.concatenate([Xff, Qff[:, None]], -1),
+                         idx[0], axis=0)
+            Xf = g[:, 0:3]
+            Qk = jnp.sqrt(g[:, 3] * Qkf)[:, None]
         res = tracker_mod.opt_pose_ray_dist_sim3(
             Xf, Xkf, sim3.identity(), Qk, valid[0], tcfg)
         return idx, acc + res.T_CkCf

@@ -15,11 +15,47 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host bring-up via ``jax.distributed.initialize``.
+
+    SURVEY.md §5.8: the reference's torch.multiprocessing shared-memory
+    backend maps to single-controller JAX per host + jax.distributed across
+    hosts; after initialize, ``jax.devices()`` spans the whole slice and
+    every mesh built here carries collectives over ICI within a host and
+    DCN across. Reads SLAM_COORDINATOR / SLAM_NUM_PROCESSES /
+    SLAM_PROCESS_ID when args are omitted; no-op (returns False) for
+    single-process runs so callers can invoke it unconditionally.
+    """
+    import os
+
+    if num_processes is None:
+        num_processes = int(os.environ.get("SLAM_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator or os.environ["SLAM_COORDINATOR"],
+        num_processes=num_processes,
+        process_id=(process_id if process_id is not None
+                    else int(os.environ["SLAM_PROCESS_ID"])),
+    )
+    return True
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "edge") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(axes=("host", "edge")) -> Mesh:
+    """(n_hosts, chips_per_host) mesh: shard BA edges over the fast axis
+    (``edge`` -> ICI) and keyframe/data parallelism over hosts (DCN)."""
+    n_hosts = jax.process_count()
+    devs = np.asarray(jax.devices()).reshape(n_hosts, -1)
+    return Mesh(devs, axes)
 
 
 def shard_edges(mesh: Mesh, *arrays, axis: str = "edge"):

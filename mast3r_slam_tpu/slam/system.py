@@ -69,11 +69,21 @@ def _track_gate(idx_f2k, valid_match_k, Qff, Qkf, Cf_avg, Ck_avg, C_conf,
     instead of several eager reductions (tracker.py:59-110 semantics; the
     unique count is a scatter of ones instead of host-side np.unique).
     """
+    Qff_at = Qff[idx_f2k, 0:1]
+    Cf_at = Cf_avg[idx_f2k]
+    return _track_gate_pre(idx_f2k, valid_match_k, Qff_at, Qkf, Cf_at,
+                           Ck_avg, C_conf, Q_conf)
+
+
+def _track_gate_pre(idx_f2k, valid_match_k, Qff_at, Qkf, Cf_at, Ck_avg,
+                    C_conf, Q_conf):
+    """Gate with the frame-side values already gathered at the match
+    indices (the fused path folds that into one multi-column gather)."""
     n = idx_f2k.shape[0]
-    Qk = jnp.sqrt(Qff[idx_f2k, 0:1] * Qkf)
+    Qk = jnp.sqrt(Qff_at * Qkf)
     valid_opt = (
         valid_match_k
-        & (Cf_avg[idx_f2k] > C_conf)
+        & (Cf_at > C_conf)
         & (Ck_avg > C_conf)
         & (Qk > Q_conf)
     )
@@ -116,9 +126,6 @@ def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
         model_mod)
 
     kf_Cavg = (kf_C / jnp.maximum(kf_N.astype(kf_C.dtype), 1.0))[:, None]
-    Qk, valid_opt, stats3 = _track_gate(
-        idx_f2k, valid_match_k, Qff, Qkf, Cff, kf_Cavg,
-        tcfg.C_conf, tcfg.Q_conf)
 
     Xf = Xff
     Xk = kf_X
@@ -136,8 +143,17 @@ def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
         u = jnp.clip(p_sub[None, :, 0], 0.0, ww - 1.001)
         v = jnp.clip(p_sub[None, :, 1], 0.0, hh - 1.001)
         Xf_at = matching._bilinear_gather(unf, u, v, ww, hh, 3)[0]
+        qc = jnp.take(jnp.concatenate([Qff, Cff], -1), idx_f2k, axis=0)
+        Qff_at, Cf_at = qc[:, 0:1], qc[:, 1:2]
     else:
-        Xf_at = jnp.take(Xf, idx_f2k, axis=0)
+        # ONE multi-column gather at the match indices instead of three
+        # (frame points + desc-conf + conf; gathers are priced per row)
+        g = jnp.take(jnp.concatenate([Xf, Qff, Cff], -1), idx_f2k, axis=0)
+        Xf_at, Qff_at, Cf_at = g[:, 0:3], g[:, 3:4], g[:, 4:5]
+
+    Qk, valid_opt, stats3 = _track_gate_pre(
+        idx_f2k, valid_match_k, Qff_at, Qkf, Cf_at, kf_Cavg,
+        tcfg.C_conf, tcfg.Q_conf)
 
     T_init = sim3.rel(kf_T_WC, frame_T_WC)
     if not use_calib:

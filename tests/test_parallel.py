@@ -63,3 +63,13 @@ def test_dp_sharded_symmetric_decode():
                                np.asarray(out_local["Xii"]), atol=2e-3)
     np.testing.assert_allclose(np.asarray(out_dist["Qji"]),
                                np.asarray(out_local["Qji"]), atol=2e-3)
+
+
+def test_init_distributed_noop_and_2d_mesh():
+    from mast3r_slam_tpu.parallel import mesh as mesh_mod
+
+    assert mesh_mod.init_distributed(num_processes=1) is False
+    m = mesh_mod.make_mesh_2d()
+    assert m.devices.shape[0] == 1          # single host
+    assert m.devices.size >= 1
+    assert m.axis_names == ("host", "edge")
