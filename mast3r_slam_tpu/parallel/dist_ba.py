@@ -29,6 +29,84 @@ def _shard_axis_size(mesh: Mesh, axis: str):
     return mesh.shape[axis]
 
 
+def shard_keyframe_store(mesh: Mesh, Xs, Cs, axis: str = "edge"):
+    """Shard keyframe pointmaps/confidences over the mesh (map sharding).
+
+    SURVEY.md §5.7: the scaling axis of this workload is the keyframe set —
+    at capacity 512 the fp32 pointmaps alone are ~1.2 GB, so multi-host
+    runs keep each host's HBM holding only its keyframe block. Poses stay
+    replicated (tiny).
+    """
+    sh = NamedSharding(mesh, P(axis))
+    return jax.device_put(Xs, sh), jax.device_put(Cs, sh)
+
+
+def prep_edges_kf_sharded(mesh: Mesh, Xs_sh, Cs_sh, ii, jj, idx, valid_match,
+                          axis: str = "edge"):
+    """Cross-shard endpoint gather: keyframe-sharded maps -> edge-sharded
+    per-edge data (Xi, Ci, Xj, Cj, safe_idx).
+
+    The match indices are loop-invariant, so the only communication a
+    keyframe-sharded BA needs is this ONE resharding before the GN loop —
+    GSPMD inserts the all-to-all; the solve itself then runs on local edge
+    data with a single psum per iteration (gauss_newton_rays_dist_pre).
+    """
+    from ..slam import ba
+
+    out_sh = NamedSharding(mesh, P(axis))
+    f = jax.jit(ba._edge_prep, out_shardings=(out_sh,) * 5)
+    return f(Xs_sh, Cs_sh, ii, jj, idx, valid_match)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
+def gauss_newton_rays_dist_pre(T_WCs, pre, ii, jj, valid_match, Q, edge_mask,
+                               n_kf, mesh: Mesh, cfg: ba.BAConfig,
+                               axis: str = "edge"):
+    """Edge-sharded ray/dist GN over pre-gathered edge data.
+
+    Companion to ``prep_edges_kf_sharded``: with the endpoint maps already
+    routed edge-locally, every GN iteration is pure local compute + one
+    psum of the assembled (7K)^2 system — no keyframe-store access at all,
+    so the keyframe maps may live sharded (or on another host) entirely.
+    """
+    K_cap = T_WCs.shape[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), jax.tree_util.tree_map(lambda _: P(axis), pre),
+                  P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(T0, pre_l, ii_l, jj_l, vm_l, Q_l, mask_l):
+        safe_idx_l = pre_l[4]
+
+        def body(state):
+            T, it, done = state
+            H, g = ba._edge_terms_rays(T, None, None, ii_l, jj_l, safe_idx_l,
+                                       vm_l, Q_l, mask_l, cfg, pre=pre_l)
+            Hd, gd = ba._assemble(H, g, ii_l, jj_l, n_kf, K_cap, cfg.pin)
+            Hd = jax.lax.psum(Hd, axis)
+            gd = jax.lax.psum(gd, axis)
+            dx, free = ba._solve(Hd, gd, n_kf, K_cap, cfg.pin)
+            T_new = sim3.retr(T, dx)
+            T = jnp.where(free[:, None], T_new, T)
+            delta = jnp.linalg.norm(jnp.where(free[:, None], dx, 0.0))
+            return T, it + 1, delta < cfg.delta_norm
+
+        def cond(state):
+            _, it, done = state
+            return (~done) & (it < cfg.max_iters)
+
+        T, _, _ = jax.lax.while_loop(
+            cond, body, (T0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        )
+        return T
+
+    return run(T_WCs, pre, ii, jj, valid_match, Q, edge_mask)
+
+
 @partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
 def gauss_newton_rays_dist(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
                            edge_mask, n_kf, mesh: Mesh, cfg: ba.BAConfig,

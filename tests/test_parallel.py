@@ -73,3 +73,36 @@ def test_init_distributed_noop_and_2d_mesh():
     assert m.devices.shape[0] == 1          # single host
     assert m.devices.size >= 1
     assert m.axis_names == ("host", "edge")
+
+
+def test_kf_sharded_ba_matches_single_device():
+    """Keyframe-sharded storage + one resharding prep + edge-local GN ==
+    the single-device solver (SURVEY §5.7 map-sharding scale axis)."""
+    key = jax.random.PRNGKey(3)
+    n_kf, P = 5, 256
+    T_true, Xs = _make_world(key, n_kf, P)
+    Cs = jnp.full((n_kf, P), 5.0)
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=[(0, n_kf - 1)])
+
+    noise = 0.05 * jax.random.normal(jax.random.fold_in(key, 7), (n_kf, 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+
+    cfg = ba.BAConfig(max_iters=5, point_chunk=256)
+    T_local = ba.gauss_newton_rays(T_init, Xs, Cs, ii, jj, idx, valid, Q,
+                                   mask, jnp.asarray(n_kf), cfg)
+
+    m = mesh_mod.make_mesh(8)
+    pad = lambda a, fill=0: mesh_mod.pad_to_multiple(a, 8, 0, fill)
+    # keyframe maps live sharded; K=5 doesn't divide the mesh -> pad rows
+    Xs_p = mesh_mod.pad_to_multiple(Xs, 8, 0)
+    Cs_p = mesh_mod.pad_to_multiple(Cs, 8, 0)
+    Xs_sh, Cs_sh = dist_ba.shard_keyframe_store(m, Xs_p, Cs_p)
+    pre = dist_ba.prep_edges_kf_sharded(
+        m, Xs_sh, Cs_sh, pad(ii), pad(jj), pad(idx), pad(valid, False))
+    T_dist = dist_ba.gauss_newton_rays_dist_pre(
+        T_init, pre, pad(ii), pad(jj), pad(valid, False), pad(Q), pad(mask),
+        jnp.asarray(n_kf), m, cfg)
+
+    np.testing.assert_allclose(np.asarray(T_dist), np.asarray(T_local),
+                               atol=1e-4)
