@@ -163,6 +163,29 @@ def _apply_adj_inv_T_t(T, J):
         [s_inv * Ra, Rb + s_inv * t_x_Ra, c + s_inv * t_dot_Ra], axis=2)
 
 
+def _adj_inv_matrix(T):
+    """The 7x7 matrix M with M v == apply_adj_inv_T(T, v): T (E, 8).
+
+    The inverse-adjoint map is PER-EDGE linear in the Jacobian rows, so the
+    per-point Hessian accumulation can run on the raw relative-pose
+    Jacobian and be conjugated once per edge: S = M S0 M^T, g = M g0
+    (the CUDA kernel applies the map per point, gn_kernels.cu:1040-1085 —
+    h*w times more work for the same result).
+    """
+    t, q, s = sim3.parts(T)
+    R = sim3.quat_to_matrix(q)
+    s_inv = (1.0 / s)[..., None]
+    E = T.shape[0]
+    Z3 = jnp.zeros_like(R)
+    top = jnp.concatenate([s_inv * R, Z3, jnp.zeros((E, 3, 1))], axis=-1)
+    mid = jnp.concatenate([s_inv * (sim3.skew(t) @ R), R,
+                           jnp.zeros((E, 3, 1))], axis=-1)
+    bot = jnp.concatenate([s_inv * jnp.einsum("ei,eij->ej", t, R)[:, None],
+                           jnp.zeros((E, 1, 3)), jnp.ones((E, 1, 1))],
+                          axis=-1)
+    return jnp.concatenate([top, mid, bot], axis=-2)
+
+
 def _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
                 cfg: BAConfig, residual_fn, n_rows: int,
                 pre=None):
@@ -209,14 +232,11 @@ def _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
     )
 
     def chunk(carry, chunk_in):
-        H_acc, g_acc = carry
+        S_acc, g_acc = carry
         idx_c, vm_c, Q_c, Xi_c, Ci_c, Xj_c, Cj_c = chunk_in
 
         err, J_theta, sqrt_w_rows, extra_valid = residual_fn(
             Tij, Xj_c.transpose(0, 2, 1), Xi_c.transpose(0, 2, 1), idx_c)
-
-        Jj = _apply_adj_inv_T_t(Ti, J_theta)
-        J = jnp.concatenate([-Jj, Jj], axis=2)           # (E, r, 14, C)
 
         valid = (
             vm_c
@@ -230,17 +250,33 @@ def _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
         w = robust.huber(sqrt_w * err) * sqrt_w * sqrt_w
         w = w * edge_mask[:, None, None]
 
-        wJ = w[:, :, None, :] * J
-        H_acc = H_acc + jnp.einsum(
-            "erik,erjk->eij", wJ, J, preferred_element_type=jnp.float32
+        # per-point work contracts only the RAW 7-dim theta-Jacobian; the
+        # per-edge inverse-adjoint and the [[S,-S],[-S,S]] block structure
+        # of the 14x14 edge Hessian are applied once per edge below. The
+        # single sqrt-weighted operand A halves the materialized Jacobian
+        # traffic (S0 = A A^T instead of (wJ) J^T).
+        rw = jnp.sqrt(w)
+        A = rw[:, :, None, :] * J_theta
+        S_acc = S_acc + jnp.einsum(
+            "erik,erjk->eij", A, A, preferred_element_type=jnp.float32
         )
         g_acc = g_acc + jnp.einsum(
-            "erk,erik->ei", w * err, J, preferred_element_type=jnp.float32
+            "erk,erik->ei", rw * err, A,
+            preferred_element_type=jnp.float32
         )
-        return (H_acc, g_acc), None
+        return (S_acc, g_acc), None
 
-    init = (jnp.zeros((E, 14, 14)), jnp.zeros((E, 14)))
-    (H, g), _ = jax.lax.scan(chunk, init, inputs)
+    init = (jnp.zeros((E, 7, 7)), jnp.zeros((E, 7)))
+    (S0, g0), _ = jax.lax.scan(chunk, init, inputs)
+
+    M = _adj_inv_matrix(Ti)
+    S = M @ S0 @ M.transpose(0, 2, 1)                    # (E, 7, 7)
+    gj = jnp.einsum("eij,ej->ei", M, g0)                 # (E, 7)
+    H = jnp.concatenate([
+        jnp.concatenate([S, -S], axis=-1),
+        jnp.concatenate([-S, S], axis=-1),
+    ], axis=-2)
+    g = jnp.concatenate([-gj, gj], axis=-1)
     return H, g
 
 

@@ -219,3 +219,20 @@ def test_gn_points_recovers_poses():
                                    mask, jnp.asarray(n_kf), cfg)
     err = jax.vmap(lambda a, b: sim3.log(sim3.mul(sim3.inv(a), b)))(T_true, T_opt)
     assert float(jnp.abs(err).max()) < 1e-3, np.asarray(err)
+
+
+def test_adj_inv_matrix_equals_map():
+    """The per-edge 7x7 inverse-adjoint matrix reproduces the per-row map
+    (the algebra behind hoisting the adjoint out of the point loop)."""
+    import jax
+
+    from mast3r_slam_tpu.lie import sim3
+    from mast3r_slam_tpu.slam import ba as ba_mod
+
+    key = jax.random.PRNGKey(0)
+    E, r, C = 3, 4, 5
+    T = jax.vmap(sim3.exp)(0.3 * jax.random.normal(key, (E, 7)))
+    J = jax.random.normal(jax.random.fold_in(key, 1), (E, r, 7, C))
+    y1 = ba_mod._apply_adj_inv_T_t(T, J)
+    y2 = jnp.einsum("eij,erjc->eric", ba_mod._adj_inv_matrix(T), J)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
