@@ -107,6 +107,7 @@ def make_matching_config(cfg: dict) -> MatchingConfig:
         dist_thresh=float(m["dist_thresh"]), radius=int(m["radius"]),
         dilation_max=int(m["dilation_max"]),
         subpixel=bool(m.get("subpixel", False)),
+        coarse_iter=int(m.get("coarse_iter", 0)),
     )
 
 

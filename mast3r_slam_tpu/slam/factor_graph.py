@@ -87,6 +87,10 @@ class MatchingConfig(NamedTuple):
     subpixel: bool = False   # float-position correspondences (beyond the
                              # reference's integer matching; tracker
                              # interpolates the pointmap at the match)
+    coarse_iter: int = 0     # > 0: pyramidal LM — coarse_iter iterations on
+                             # a stride-2 query subgrid before max_iter
+                             # full-resolution iterations (4x fewer gathers
+                             # in the coarse stage; see ops.matching.match)
 
 
 class FactorGraph:

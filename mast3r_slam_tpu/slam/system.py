@@ -98,14 +98,11 @@ def _track_gate_pre(idx_f2k, valid_match_k, Qff_at, Qkf, Cf_at, Ck_avg,
     return Qk, valid_opt, stats
 
 
-@partial(jax.jit, static_argnames=("cfg", "mcfg", "tcfg", "ds", "fuse_mode",
-                                   "score_fn", "use_calib", "img_size",
-                                   "model_mod"))
-def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
-                       idx_init, kf_X, kf_C, kf_N, kf_N_updates, kf_score,
-                       kf_T_WC, frame_T_WC, K, ds: int, fuse_mode: str,
-                       score_fn: str, use_calib: bool, img_size,
-                       model_mod=mast3r):
+def _track_frame_body(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
+                      idx_init, kf_X, kf_C, kf_N, kf_N_updates, kf_score,
+                      kf_T_WC, frame_T_WC, K, ds: int, fuse_mode: str,
+                      score_fn: str, use_calib: bool, img_size,
+                      model_mod=mast3r):
     """Whole tracking step as ONE compiled program.
 
     Inference + matching + gating + Sim(3) GN + masked pointmap fusion and
@@ -200,6 +197,177 @@ def _track_frame_fused(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
                        res.failed.astype(jnp.float32)])
     return (idx_f2k, T_WCf, Xff, Cff, kf_X_new, kf_C_new, kf_N_new,
             kf_NU_new, kf_score_new, frame_score, stats)
+
+
+_track_frame_fused = partial(jax.jit, static_argnames=(
+    "cfg", "mcfg", "tcfg", "ds", "fuse_mode", "score_fn", "use_calib",
+    "img_size", "model_mod"))(_track_frame_body)
+
+
+class WindowOut(NamedTuple):
+    """Outputs of ``_track_window_fused`` (all device-resident; only
+    ``hoststats`` is fetched to the host each window)."""
+
+    hoststats: jnp.ndarray   # (W, 8): match_frac, match_frac_k, unique_frac,
+    #                                   skip, failed, new_kf, frame_score,
+    #                                   active
+    T_WCf: jnp.ndarray       # (W, 8) per-frame world poses
+    feats: jnp.ndarray       # (W, n_patch, d) encoder features
+    poss: jnp.ndarray        # (W, n_patch, 2)
+    Xff: jnp.ndarray         # (W, n, 3) per-frame canonical pointmaps
+    Cff: jnp.ndarray         # (W, n, 1)
+    idx_last: jnp.ndarray    # (n,) match-index warm start for the next window
+    prev_T_WC: jnp.ndarray   # (8,) last active frame pose
+    feat_last: jnp.ndarray   # (n_patch, d) last active frame's features
+    pos_last: jnp.ndarray    # (n_patch, 2)
+    # donated keyframe-store buffers (reassign on the host store):
+    kX: jnp.ndarray
+    kC: jnp.ndarray
+    kN: jnp.ndarray
+    kNU: jnp.ndarray
+    kscore: jnp.ndarray
+    kT: jnp.ndarray
+    kfeat: jnp.ndarray
+    kpos: jnp.ndarray
+    kdix: jnp.ndarray
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "mcfg", "tcfg", "ds", "fuse_mode",
+                          "score_fn", "use_calib", "img_size", "window",
+                          "model_mod"),
+         donate_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18))
+def _track_window_fused(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
+                        prev_T_WC, K, last_idx,
+                        kX, kC, kN, kNU, kscore, kT, kfeat, kpos, kdix,
+                        ds: int, fuse_mode: str, score_fn: str,
+                        use_calib: bool, img_size, window: int,
+                        model_mod=mast3r):
+    """Micro-batched streaming frontend: ``window`` frames in ONE dispatch.
+
+    TPU-native beyond the reference (which steps frame-by-frame on the
+    host, main.py:236-313): the W new frames are encoded as one batch, then
+    tracked sequentially on device with the keyframe CARRIED through the
+    unrolled chain — keyframe selection (tracker.py:104-110) happens on
+    device, so a mid-window keyframe switch re-targets the remaining frames
+    without host involvement, and the keyframe-store rows (outgoing fused
+    state + freshly appended keyframes) are written in-place into the
+    donated store buffers with masked ``mode="drop"`` scatters. The host
+    reads back one tiny (W, 8) stats array per window.
+
+    Failure semantics: at the first skipped/failed frame the chain HALTS —
+    all later writes are masked and their ``active`` stat is 0; the host
+    replays those frames through the per-frame path (which handles the
+    RELOC transition). Identical trajectories to the per-frame path
+    (equivalence-tested); only backend scheduling differs (global BA runs
+    between windows instead of between frames).
+    """
+    W = window
+    cap = kX.shape[0]
+    n = img_size[0] * img_size[1]
+    ident = jnp.arange(n, dtype=jnp.int32)
+
+    feats_all, poss_all = model_mod.encode(params, imgs, cfg)
+
+    row = lambda buf, i: jax.lax.dynamic_index_in_dim(buf, i, keepdims=False)
+    cur = last_idx
+    feat_k = row(kfeat, cur)[None].astype(feats_all.dtype)
+    pos_k = row(kpos, cur)[None]
+    kf_X, kf_C = row(kX, cur), row(kC, cur)
+    kf_N, kf_NU = row(kN, cur), row(kNU, cur)
+    kf_sc, kf_T = row(kscore, cur), row(kT, cur)
+    idx = idx_init
+    halted = jnp.asarray(False)
+    feat_last = feats_all[0]
+    pos_last = poss_all[0]
+
+    o_stats, o_T, o_Xff, o_Cff = [], [], [], []
+    for t in range(W):
+        feat_f = feats_all[t:t + 1]
+        pos_f = poss_all[t:t + 1]
+        (idx_f2k, T_WCf, Xff, Cff, kf_Xn, kf_Cn, kf_Nn, kf_NUn, kf_scn,
+         frame_score, stats) = _track_frame_body(
+            params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
+            idx[None], kf_X, kf_C, kf_N, kf_NU, kf_sc, kf_T, prev_T_WC, K,
+            ds, fuse_mode, score_fn, use_calib, img_size, model_mod)
+
+        ok = (stats[3] < 0.5) & (stats[4] < 0.5)
+        active = ~halted
+        new_kf = active & ok & (jnp.minimum(stats[1], stats[2])
+                                < tcfg.match_frac_thresh)
+
+        # commit the frame's effect on the current keyframe (body already
+        # gates the fusion by ok; gate the whole frame by active)
+        sel = lambda a, b: jnp.where(active, a, b)
+        kf_X, kf_C = sel(kf_Xn, kf_X), sel(kf_Cn, kf_C)
+        kf_N, kf_NU = sel(kf_Nn, kf_N), sel(kf_NUn, kf_NU)
+        kf_sc = sel(kf_scn, kf_sc)
+        T_WCf = jnp.where(active & ok, T_WCf, prev_T_WC)
+
+        # keyframe switch: flush the outgoing keyframe's fused state, then
+        # append the fresh frame as the new keyframe (masked drop-scatters)
+        drop = jnp.asarray(cap, jnp.int32)
+        widx = jnp.where(new_kf, cur, drop)
+        kX = kX.at[widx].set(kf_X, mode="drop")
+        kC = kC.at[widx].set(kf_C, mode="drop")
+        kN = kN.at[widx].set(kf_N, mode="drop")
+        kNU = kNU.at[widx].set(kf_NU, mode="drop")
+        kscore = kscore.at[widx].set(kf_sc, mode="drop")
+
+        aidx = jnp.where(new_kf, cur + 1, drop)
+        one_i = jnp.ones((), kN.dtype)
+        kX = kX.at[aidx].set(Xff, mode="drop")
+        kC = kC.at[aidx].set(Cff[:, 0], mode="drop")
+        kN = kN.at[aidx].set(one_i, mode="drop")
+        kNU = kNU.at[aidx].set(one_i, mode="drop")
+        kscore = kscore.at[aidx].set(frame_score.astype(kscore.dtype),
+                                     mode="drop")
+        kT = kT.at[aidx].set(T_WCf, mode="drop")
+        kfeat = kfeat.at[aidx].set(feat_f[0].astype(kfeat.dtype),
+                                   mode="drop")
+        kpos = kpos.at[aidx].set(pos_f[0], mode="drop")
+        kdix = kdix.at[aidx].set(frame_ids[t], mode="drop")
+
+        # carry switch to the new keyframe (feat round-trips through the
+        # store dtype so the chain matches the per-frame path bit-for-bit)
+        feat_store = feat_f.astype(kfeat.dtype).astype(feats_all.dtype)
+        feat_k = jnp.where(new_kf, feat_store, feat_k)
+        pos_k = jnp.where(new_kf, pos_f, pos_k)
+        kf_X = jnp.where(new_kf, Xff, kf_X)
+        kf_C = jnp.where(new_kf, Cff[:, 0], kf_C)
+        kf_N = jnp.where(new_kf, one_i, kf_N)
+        kf_NU = jnp.where(new_kf, one_i, kf_NU)
+        kf_sc = jnp.where(new_kf, frame_score.astype(kf_sc.dtype), kf_sc)
+        kf_T = jnp.where(new_kf, T_WCf, kf_T)
+        cur = cur + new_kf.astype(cur.dtype)
+        idx = jnp.where(active, jnp.where(new_kf, ident, idx_f2k), idx)
+        prev_T_WC = jnp.where(active, T_WCf, prev_T_WC)
+        feat_last = jnp.where(active, feats_all[t], feat_last)
+        pos_last = jnp.where(active, poss_all[t], pos_last)
+        halted = halted | (active & ~ok)
+
+        o_stats.append(jnp.concatenate([
+            stats, jnp.stack([new_kf.astype(jnp.float32),
+                              frame_score.astype(jnp.float32),
+                              active.astype(jnp.float32)])]))
+        o_T.append(T_WCf)
+        o_Xff.append(Xff)
+        o_Cff.append(Cff)
+
+    # final flush of the current keyframe's carried state
+    kX = kX.at[cur].set(kf_X)
+    kC = kC.at[cur].set(kf_C)
+    kN = kN.at[cur].set(kf_N)
+    kNU = kNU.at[cur].set(kf_NU)
+    kscore = kscore.at[cur].set(kf_sc)
+
+    return WindowOut(
+        hoststats=jnp.stack(o_stats), T_WCf=jnp.stack(o_T),
+        feats=feats_all, poss=poss_all, Xff=jnp.stack(o_Xff),
+        Cff=jnp.stack(o_Cff), idx_last=idx, prev_T_WC=prev_T_WC,
+        feat_last=feat_last, pos_last=pos_last,
+        kX=kX, kC=kC, kN=kN, kNU=kNU, kscore=kscore, kT=kT, kfeat=kfeat,
+        kpos=kpos, kdix=kdix)
 
 
 class TrackerRunner:
@@ -415,6 +583,9 @@ class SLAMSystem:
         self.K = K
 
         self.single_thread = bool(config.get("single_thread", True))
+        # micro-batched streaming frontend: frames per tracking dispatch
+        # (1 = reference-shaped per-frame stepping)
+        self.window = int(rt.get("tracking_window", 1))
         num_points = h * w
         num_patches = model_cfg.num_patches
         self.keyframes = KeyframeStore(
@@ -524,6 +695,96 @@ class SLAMSystem:
             return self.mode
 
         raise RuntimeError(f"invalid mode {self.mode}")
+
+    def process_window(self, ids, imgs_np) -> int:
+        """Track ``len(ids)`` frames in ONE device dispatch (TRACKING mode
+        only; see ``_track_window_fused``). ``imgs_np``: list of (h, w, 3)
+        normalized resized images. Returns the number of frames consumed —
+        on a skip/failure mid-window, the prefix is committed, the system
+        enters RELOC at the offending frame, and the caller resumes with
+        the per-frame path."""
+        from ..lie import sim3
+
+        assert self.mode == Mode.TRACKING
+        kfs = self.keyframes
+        tr = self.tracker
+        W = len(ids)
+        assert len(kfs) + W < kfs.capacity, "keyframe buffer nearly full"
+        n = kfs.h * kfs.w
+        ds = self.downsample
+
+        imgs = jnp.asarray(np.stack(imgs_np))
+        idx_init = tr.idx_f2k
+        if idx_init is None:
+            idx_init = jnp.arange(n, dtype=jnp.int32)
+        prev_T = (self.current_frame.T_WC if self.current_frame is not None
+                  else sim3.identity())
+        K = self.K if self.K is not None else jnp.eye(3)
+
+        out = _track_window_fused(
+            self.params, self.model_cfg, tr.mcfg, tr.tcfg, imgs,
+            jnp.asarray(ids, jnp.int32), idx_init, prev_T, K,
+            jnp.asarray(len(kfs) - 1, jnp.int32),
+            kfs.X, kfs.C, kfs.N, kfs.N_updates, kfs.score, kfs.T_WC,
+            kfs.feat, kfs.pos, kfs.dataset_idx,
+            ds, tr.filtering_mode, tr.filtering_score, self.use_calib,
+            (kfs.h, kfs.w), W, self.model_mod)
+
+        # adopt the donated store buffers
+        kfs.X, kfs.C, kfs.N = out.kX, out.kC, out.kN
+        kfs.N_updates, kfs.score = out.kNU, out.kscore
+        kfs.T_WC, kfs.feat, kfs.pos = out.kT, out.kfeat, out.kpos
+        kfs.dataset_idx = out.kdix
+        tr.idx_f2k = out.idx_last
+
+        hs = np.asarray(out.hoststats)   # the single per-window readback
+        consumed = 0
+        for t in range(W):
+            if hs[t, 7] < 0.5:           # post-halt: never processed
+                break
+            skipped = hs[t, 3] > 0.5 or hs[t, 4] > 0.5
+            tr.last_stats = {"match_frac": float(hs[t, 0]),
+                             "match_frac_k": float(hs[t, 1]),
+                             "unique_frac": float(hs[t, 2])}
+            new_kf = hs[t, 5] > 0.5
+            if new_kf:
+                kfs.n_size += 1
+                self.stats["keyframes"] += 1
+                self.backend_queue.append(kfs.n_size - 1)
+                uimg = imgs_np[t] * 0.5 + 0.5
+                kfs.uimg[kfs.n_size - 1] = uimg[::ds, ::ds] if ds > 1 else \
+                    uimg
+            if self.metrics is not None:
+                self.metrics.log(event="track", frame=ids[t],
+                                 new_kf=bool(new_kf), reloc=bool(skipped),
+                                 n_kf=len(kfs),
+                                 n_edges=self.factor_graph.n_edges,
+                                 **tr.last_stats)
+            consumed += 1
+            if skipped:
+                which = "Skipped" if hs[t, 3] > 0.5 else "Cholesky failed"
+                print(f"{which} frame {ids[t]}")
+                self.stats["skipped"] += 1
+                self.mode = Mode.RELOC
+                uimg = imgs_np[t] * 0.5 + 0.5
+                self.current_frame = Frame(
+                    frame_id=ids[t], img=imgs[t],
+                    uimg=uimg[::ds, ::ds] if ds > 1 else uimg,
+                    T_WC=out.T_WCf[t], X_canon=out.Xff[t], C=out.Cff[t],
+                    feat=out.feats[t], pos=out.poss[t], N=1, N_updates=1,
+                    K=self.K)
+                if self.debug_checks:
+                    self.check_invariants()
+                return consumed
+
+        last = consumed - 1
+        self.current_frame = Frame(
+            frame_id=ids[last], img=None, uimg=None, T_WC=out.prev_T_WC,
+            feat=out.feat_last, pos=out.pos_last, N=1, N_updates=1,
+            K=self.K)
+        if self.debug_checks:
+            self.check_invariants()
+        return consumed
 
     def check_invariants(self):
         """Assertion-mode runtime checks (SURVEY.md §5.2 — replaces the
@@ -663,18 +924,34 @@ class SLAMSystem:
             backend_thread.start()
 
         t0 = time.time()
-        for i in range(n):
-            _, img = dataset[i]
-            res = resize_img(img, dataset.img_size)
-            frame = self.make_frame(i, res["img"])
-            if self.single_thread:
-                self.process_frame(frame)
+        i = 0
+        W = self.window
+        while i < n:
+            if (W > 1 and self.single_thread and self.mode == Mode.TRACKING
+                    and i + W <= n
+                    and len(self.keyframes) + W < self.keyframes.capacity):
+                ids = list(range(i, i + W))
+                imgs_np = []
+                for t in ids:
+                    _, img = dataset[t]
+                    imgs_np.append(resize_img(img, dataset.img_size)["img"])
+                i += self.process_window(ids, imgs_np)
                 while self.backend_step():
                     pass
             else:
-                with self.state_lock:
+                _, img = dataset[i]
+                res = resize_img(img, dataset.img_size)
+                frame = self.make_frame(i, res["img"])
+                if self.single_thread:
                     self.process_frame(frame)
-            if progress and i % 30 == 0 and i > 0:
+                    while self.backend_step():
+                        pass
+                else:
+                    with self.state_lock:
+                        self.process_frame(frame)
+                i += 1
+            if progress and i % 30 < (W if self.mode == Mode.TRACKING
+                                      else 1) and i > 0:
                 print(f"FPS: {i / (time.time() - t0):.2f}")
         # drain
         while self.backend_queue or self.reloc_pending:
