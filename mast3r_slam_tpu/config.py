@@ -108,6 +108,7 @@ def make_matching_config(cfg: dict) -> MatchingConfig:
         dilation_max=int(m["dilation_max"]),
         subpixel=bool(m.get("subpixel", False)),
         coarse_iter=int(m.get("coarse_iter", 0)),
+        separable_refine=bool(m.get("separable_refine", False)),
     )
 
 

@@ -234,7 +234,8 @@ def refine_matches(D11, D21, p1, radius: int = 3, dilation_max: int = 5):
 def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
           lambda_init: float = 1e-8, convergence_thresh: float = 1e-6,
           dist_thresh: float = 1e-1, radius: int = 3, dilation_max: int = 5,
-          subpixel: bool = False, coarse_iter: int = 0):
+          subpixel: bool = False, coarse_iter: int = 0,
+          separable_refine: bool = False):
     """Full matcher: ray LM projection + occlusion gate + descriptor refine.
 
     Spec: matching.py:52-90. Shapes: X11/X21 (b,h,w,3), D11/D21 (b,h,w,f).
@@ -289,16 +290,25 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
 
     if radius > 0:
         from .window_gather import (refine_matches_full_unfold,
+                                    refine_matches_separable,
                                     refine_matches_unfold)
 
         # half precision for the window search (reference uses fp16,
         # matching.py:80-86). Two equality-tested layouts: k row gathers
         # per level (unfold) vs ONE row gather per level over a
-        # (2r+1)^2-wide unfold (full) — the full unfold amortizes its
-        # larger build traffic when there are >= 2 levels (measured on
-        # chip; see DEVELOPMENT.md gather notes).
-        refine = (refine_matches_full_unfold if dilation_max >= 2
-                  else refine_matches_unfold)
+        # (2r+1)^2-wide unfold (full) — row gathers are latency-priced, so
+        # fewer-but-wider wins whenever the (2r+1)^2 build traffic stays
+        # small: measured on chip, full wins for >= 2 levels at any radius
+        # AND for single-level r <= 2 (25x build, ~1.5x faster; see
+        # DEVELOPMENT.md gather notes). ``separable_refine`` swaps in the
+        # 2-gather axis-by-axis search (approximate; see
+        # window_gather.refine_matches_separable).
+        if separable_refine:
+            refine = refine_matches_separable
+        else:
+            refine = (refine_matches_full_unfold
+                      if dilation_max >= 2 or radius <= 2
+                      else refine_matches_unfold)
         p1i = refine(D11.astype(jnp.bfloat16),
                      D21.reshape(b, n, -1).astype(jnp.bfloat16),
                      p1i, radius, dilation_max)

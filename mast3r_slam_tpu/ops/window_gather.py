@@ -197,6 +197,51 @@ def refine_matches_unfold(D11, D21, p1, radius: int = 3,
     return jnp.stack([outs[0], outs[1]], axis=-1)
 
 
+def _axis_pass(Dimg, Dq, u0, v0, d: int, radius: int, cdt):
+    """One separable search pass: argmax of the descriptor score over the
+    2r+1 dilation-``d`` candidates along u at fixed v. ONE row gather per
+    point (the center row of the u-unfolded window). Returns refined u0."""
+    h, w, f = Dimg.shape
+    k = 2 * radius + 1
+    U = build_unfolded_phases(Dimg, d, radius)
+    dd, _, H, Wu, kc = U.shape
+    flat = U.reshape(-1, kc)
+    pv, pu, vs, us = v0 % d, u0 % d, v0 // d, u0 // d
+    base = ((pv * d + pu) * H + vs) * Wu + us + radius * Wu
+    row = jnp.take(flat, base, axis=0).reshape(-1, k, f)
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * d
+    uu = u0[:, None] + offs[None, :]
+    s = jnp.einsum("nkf,nf->nk", row.astype(cdt), Dq.astype(cdt),
+                   preferred_element_type=jnp.float32)
+    s = jnp.where((uu >= 0) & (uu < w), s, -jnp.inf)
+    best = jnp.argmax(s, axis=-1).astype(jnp.int32)
+    return jnp.clip(u0 + (best - radius) * d, 0, w - 1)
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+def refine_matches_separable(D11, D21, p1, radius: int = 3,
+                             dilation_max: int = 5):
+    """Separable descriptor window search: u-pass then v-pass per level —
+    2 row gathers per point per level instead of 2r+1 (spec:
+    matching_kernels.cu:25-81 searches the full (2r+1)^2 window; the
+    separable argmax equals it whenever the score surface is unimodal
+    along axes, which holds for the peaked descriptor correlations the
+    matcher sees — validated end-to-end on the oracle ATE regression)."""
+    b, h, w, f = D11.shape
+    cdt = jnp.promote_types(D11.dtype, D21.dtype)
+
+    def one_image(Dimg, Dq, u0, v0):
+        Dt = jnp.swapaxes(Dimg, 0, 1)   # (w, h, f): u<->v swapped
+        for d in range(dilation_max, 0, -1):
+            u0 = _axis_pass(Dimg, Dq, u0, v0, d, radius, cdt)
+            v0 = _axis_pass(Dt, Dq, v0, u0, d, radius, cdt)
+        return u0, v0
+
+    outs = jax.vmap(one_image)(D11, D21, p1[..., 0].astype(jnp.int32),
+                               p1[..., 1].astype(jnp.int32))
+    return jnp.stack([outs[0], outs[1]], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("radius", "dilation_max"))
 def refine_matches_window(D11, D21, p1, radius: int = 3,
                           dilation_max: int = 5):

@@ -91,6 +91,9 @@ class MatchingConfig(NamedTuple):
                              # a stride-2 query subgrid before max_iter
                              # full-resolution iterations (4x fewer gathers
                              # in the coarse stage; see ops.matching.match)
+    separable_refine: bool = False   # axis-by-axis window search: 2 row
+                             # gathers per point per level instead of 2r+1
+                             # (approximate; ops.window_gather)
 
 
 class FactorGraph:

@@ -78,3 +78,31 @@ def test_refine_unfold_equals_row_gather_impl():
         u = window_gather.refine_matches_unfold(D11, D21, p1, radius, dil)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(u),
                                       err_msg=f"r={radius} d={dil}")
+
+
+def test_refine_separable_exact_on_axis_peaks():
+    """The separable (2-gather) search equals the full window argmax when
+    the score peak lies on the start position's row (the coordinate-descent
+    path sees it); elsewhere it is approximate — the oracle e2e regression
+    showed it degrades trajectories, so it ships off-by-default
+    (DEVELOPMENT.md). Queries are placed on a sparse grid so no window
+    overlaps another query's peak."""
+    key = jax.random.PRNGKey(6)
+    b, h, w, f = 1, 24, 32, 8
+    rng = np.random.default_rng(7)
+    vs = np.arange(3, h - 3, 6)
+    us = np.arange(3, w - 3, 6)
+    v0, u_true = np.meshgrid(vs, us, indexing="ij")
+    v0 = v0.ravel()
+    u_true = u_true.ravel()
+    n = v0.size
+    u0 = np.clip(u_true + rng.integers(-2, 3, n), 2, w - 3)
+    D11 = 0.01 * np.asarray(jax.random.normal(key, (b, h, w, f)))
+    D21 = jax.random.normal(jax.random.fold_in(key, 1), (b, n, f))
+    D21 = D21 / jnp.linalg.norm(D21, axis=-1, keepdims=True)
+    D11[0, v0, u_true] = np.asarray(D21[0])
+    D11 = jnp.asarray(D11)
+    p1 = jnp.asarray(np.stack([u0, v0], -1)[None], jnp.int32)
+    out = window_gather.refine_matches_separable(D11, D21, p1, 2, 1)
+    full = matching.refine_matches(D11, D21, p1, 2, 1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
