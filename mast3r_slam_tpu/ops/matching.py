@@ -235,7 +235,7 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
           lambda_init: float = 1e-8, convergence_thresh: float = 1e-6,
           dist_thresh: float = 1e-1, radius: int = 3, dilation_max: int = 5,
           subpixel: bool = False, coarse_iter: int = 0,
-          separable_refine: bool = False):
+          separable_refine: bool = False, payload=None):
     """Full matcher: ray LM projection + occlusion gate + descriptor refine.
 
     Spec: matching.py:52-90. Shapes: X11/X21 (b,h,w,3), D11/D21 (b,h,w,f).
@@ -256,6 +256,13 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
     and only ``max_iter`` full-resolution iterations polish from there.
     The flow between a frame and the warm-started previous match is smooth
     at stride 2, so the trajectory is unchanged (oracle ATE regression).
+
+    ``payload`` (b, h, w, p) fp32, requires radius > 0 and not subpixel:
+    rides extra per-pixel channels inside the refine's window-row gathers
+    (bit-exact) and changes the return to (idx, valid, payload_at_match) —
+    the occlusion gate's point gather and the caller's at-match gathers
+    are folded into the refine (see
+    window_gather.refine_and_gather_full_unfold).
     """
     b, h, w, _ = X11.shape
     n = h * w
@@ -280,6 +287,23 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
     p1, valid_proj = iter_proj(rays_grad, pts3d_norm, p_init, max_iter,
                                lambda_init, convergence_thresh)
     p1i = p1.astype(jnp.int32)
+
+    if payload is not None:
+        if radius <= 0 or subpixel:
+            raise ValueError("payload requires radius > 0 and not subpixel")
+        from .window_gather import refine_and_gather_full_unfold
+
+        # one row gather per level carries descriptors + X11 + payload;
+        # the occlusion gate reads X11 at the window center (== p1i) and
+        # the caller's channels come back at the final match position
+        full_pay = jnp.concatenate([X11, payload], axis=-1)
+        p1i, pay_c, pay_m = refine_and_gather_full_unfold(
+            D11, D21.reshape(b, n, -1), p1i, full_pay, radius, dilation_max)
+        dists = jnp.linalg.norm(pay_c[..., :3] - X21.reshape(b, n, 3),
+                                axis=-1)
+        valid = valid_proj & (dists < dist_thresh)
+        # pay_m[..., :3] = X11 at the match; [..., 3:] = caller payload
+        return pixel_to_lin(p1i, w), valid[..., None], pay_m
 
     # occlusion gate: 3D distance between matched points
     lin = pixel_to_lin(p1i, w)

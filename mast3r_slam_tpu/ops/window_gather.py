@@ -197,6 +197,88 @@ def refine_matches_unfold(D11, D21, p1, radius: int = 3,
     return jnp.stack([outs[0], outs[1]], axis=-1)
 
 
+def _f32_to_u16(x):
+    """Bit-exact fp32 -> 2x uint16 slots: (..., p) -> (..., 2p)."""
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint16)
+    return u.reshape(*x.shape[:-1], 2 * x.shape[-1])
+
+
+def _u16_to_f32(u):
+    """Inverse of _f32_to_u16: (..., 2p) -> (..., p)."""
+    v = u.reshape(*u.shape[:-1], u.shape[-1] // 2, 2)
+    return jax.lax.bitcast_convert_type(v, jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+def refine_and_gather_full_unfold(D11, D21, p1, payload, radius: int = 3,
+                                  dilation_max: int = 5):
+    """Window descriptor refine + payload pickup in the SAME row gathers.
+
+    The final match always lands inside the last refine window, and the
+    gate position (the LM result p1) is the first window's center — so by
+    packing extra per-pixel channels into the unfolded rows, the matcher's
+    occlusion-gate gather and the tracker's point/confidence gathers at the
+    match indices (spec: matching.py:67-77 p1.long() gathers; tracker.py
+    frame-side gathers) ride along with the ONE descriptor-window row
+    gather per level instead of costing separate n-row gathers — row
+    gathers are latency-priced, not byte-priced (DEVELOPMENT.md).
+
+    D11: (b, h, w, f) descriptors (searched in bf16, reference fp16
+    semantics). D21: (b, n, f) queries. p1: (b, n, 2) int start positions.
+    payload: (b, h, w, p) fp32 — carried bit-exactly (uint16 slot packing).
+
+    Returns (p_refined (b, n, 2) int32,
+             payload_at_center (b, n, p) fp32 — payload at p1,
+             payload_at_match (b, n, p) fp32 — payload at p_refined);
+    identical positions to refine_matches(...); payloads identical to
+    jnp.take at the corresponding linear indices (equality-tested).
+    """
+    b, h, w, f = D11.shape
+    k = 2 * radius + 1
+    p = payload.shape[-1]
+    Du = jax.lax.bitcast_convert_type(D11.astype(jnp.bfloat16), jnp.uint16)
+    img = jnp.concatenate([Du, _f32_to_u16(payload)], axis=-1)
+
+    def one_image(Iimg, Dq, u0, v0):
+        Dqb = Dq.astype(jnp.bfloat16)
+        pay_c = None
+        pay_m = None
+        for li, d in enumerate(range(dilation_max, 0, -1)):
+            U2 = build_unfolded_windows(Iimg, d, radius)
+            wnd = gather_dilated_windows_full(U2, u0, v0, d, radius)
+            wnd = wnd.reshape(-1, k * k, f + 2 * p)
+            desc = jax.lax.bitcast_convert_type(wnd[..., :f], jnp.bfloat16)
+            offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * d
+            uu = u0[:, None, None] + offs[None, None, :]   # (n, 1, k) fast
+            vv = v0[:, None, None] + offs[None, :, None]   # (n, k, 1) slow
+            inside = ((uu >= 0) & (uu < w) & (vv >= 0)
+                      & (vv < h)).reshape(-1, k * k)
+            scores = jnp.einsum("nkf,nf->nk", desc, Dqb,
+                                preferred_element_type=jnp.float32)
+            scores = jnp.where(inside, scores, -jnp.inf)
+            best = jnp.argmax(scores, axis=-1)
+            if li == 0:
+                # first window's center == p1 (the gate position)
+                pay_c = _u16_to_f32(wnd[:, (k * k) // 2, f:])
+            # winner pickup WITHOUT a gather: one-hot masked sum over the
+            # kk candidates (per-row take_along_axis scalarizes on this
+            # backend — DEVELOPMENT.md gather notes)
+            pay_all = _u16_to_f32(wnd[..., f:])           # (n, kk, p)
+            onehot = (best[:, None] ==
+                      jnp.arange(k * k, dtype=best.dtype)[None, :])
+            pay_m = jnp.sum(jnp.where(onehot[..., None], pay_all, 0.0),
+                            axis=1)
+            bi = best.astype(jnp.int32) // k
+            bj = best.astype(jnp.int32) % k
+            u0 = jnp.clip(u0 + (bj - radius) * d, 0, w - 1)
+            v0 = jnp.clip(v0 + (bi - radius) * d, 0, h - 1)
+        return u0, v0, pay_c, pay_m
+
+    u0, v0, pay_c, pay_m = jax.vmap(one_image)(
+        img, D21, p1[..., 0].astype(jnp.int32), p1[..., 1].astype(jnp.int32))
+    return jnp.stack([u0, v0], axis=-1), pay_c, pay_m
+
+
 def _axis_pass(Dimg, Dq, u0, v0, d: int, radius: int, cdt):
     """One separable search pass: argmax of the descriptor score over the
     2r+1 dilation-``d`` candidates along u at fixed v. ONE row gather per

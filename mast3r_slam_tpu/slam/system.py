@@ -117,6 +117,10 @@ def _track_frame_body(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
     from ..lie import sim3
     from .frame import fuse_pointmap
 
+    # NOTE: folding the at-match gathers into the refine's window rows via
+    # matching.match(payload=...) was measured SLOWER end-to-end (19.9 ->
+    # 17.1 FPS): the narrow per-row gathers below are latency-cheap while
+    # widening the refine rows 1200 -> 1700 B is not (DEVELOPMENT.md).
     (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf,
      p_sub) = _track_match(
         params, cfg, mcfg, feat_f, pos_f, feat_k, pos_k, idx_init, ds,

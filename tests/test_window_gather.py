@@ -106,3 +106,38 @@ def test_refine_separable_exact_on_axis_peaks():
     out = window_gather.refine_matches_separable(D11, D21, p1, 2, 1)
     full = matching.refine_matches(D11, D21, p1, 2, 1)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
+
+
+def test_match_payload_mode_equals_plain():
+    """match(..., payload=) returns identical idx/valid to plain match, and
+    the payload comes back bit-exactly equal to explicit takes at the match
+    indices (the fused single-gather path; ops.matching.match)."""
+    key = jax.random.PRNGKey(8)
+    b, h, w, f = 1, 24, 32, 8
+    n = h * w
+    uv = jnp.stack(jnp.meshgrid(jnp.linspace(-1, 1, w),
+                                jnp.linspace(-0.75, 0.75, h),
+                                indexing="xy"), -1)
+    z = 2.0 + 0.3 * jnp.sin(uv[..., 0] * 3) * jnp.cos(uv[..., 1] * 2)
+    X11 = jnp.concatenate([uv * z[..., None], z[..., None]], -1)[None]
+    X21 = X11 + 0.01 * jax.random.normal(key, X11.shape)
+    D = jax.random.normal(jax.random.fold_in(key, 1), (b, h, w, f))
+    D = D / jnp.linalg.norm(D, axis=-1, keepdims=True)
+    payload = jax.random.normal(jax.random.fold_in(key, 2), (b, h, w, 5))
+
+    for radius, dil in [(2, 1), (3, 2)]:
+        kw = dict(max_iter=4, radius=radius, dilation_max=dil)
+        idx_a, valid_a = matching.match(X11, X21, D, D, **kw)
+        idx_b, valid_b, pm = matching.match(X11, X21, D, D, payload=payload,
+                                            **kw)
+        np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+        np.testing.assert_array_equal(np.asarray(valid_a),
+                                      np.asarray(valid_b))
+        want_X = jnp.take_along_axis(X11.reshape(b, n, 3),
+                                     idx_a[..., None], axis=1)
+        want_p = jnp.take_along_axis(payload.reshape(b, n, 5),
+                                     idx_a[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(pm[..., :3]),
+                                      np.asarray(want_X))
+        np.testing.assert_array_equal(np.asarray(pm[..., 3:]),
+                                      np.asarray(want_p))
