@@ -700,13 +700,14 @@ class SLAMSystem:
 
         raise RuntimeError(f"invalid mode {self.mode}")
 
-    def process_window(self, ids, imgs_np) -> int:
-        """Track ``len(ids)`` frames in ONE device dispatch (TRACKING mode
-        only; see ``_track_window_fused``). ``imgs_np``: list of (h, w, 3)
-        normalized resized images. Returns the number of frames consumed —
-        on a skip/failure mid-window, the prefix is committed, the system
-        enters RELOC at the offending frame, and the caller resumes with
-        the per-frame path."""
+    def dispatch_window(self, ids, imgs_np):
+        """Dispatch ``len(ids)`` frames as ONE device program (TRACKING mode
+        only; see ``_track_window_fused``) WITHOUT waiting for the result.
+        Returns an opaque pending handle for ``consume_window``. Between the
+        two calls the host can do other work (e.g. dispatch backend BA for
+        previously queued keyframes) that overlaps the device computing the
+        window — the reference overlaps frontend/backend with processes on
+        one GPU (main.py:192-197); here the XLA stream plays that role."""
         from ..lie import sim3
 
         assert self.mode == Mode.TRACKING
@@ -715,7 +716,6 @@ class SLAMSystem:
         W = len(ids)
         assert len(kfs) + W < kfs.capacity, "keyframe buffer nearly full"
         n = kfs.h * kfs.w
-        ds = self.downsample
 
         imgs = jnp.asarray(np.stack(imgs_np))
         idx_init = tr.idx_f2k
@@ -731,15 +731,39 @@ class SLAMSystem:
             jnp.asarray(len(kfs) - 1, jnp.int32),
             kfs.X, kfs.C, kfs.N, kfs.N_updates, kfs.score, kfs.T_WC,
             kfs.feat, kfs.pos, kfs.dataset_idx,
-            ds, tr.filtering_mode, tr.filtering_score, self.use_calib,
-            (kfs.h, kfs.w), W, self.model_mod)
+            self.downsample, tr.filtering_mode, tr.filtering_score,
+            self.use_calib, (kfs.h, kfs.w), W, self.model_mod)
 
-        # adopt the donated store buffers
+        # adopt the donated store buffers (device-side; no sync). Later
+        # dispatches referencing them queue behind this window via XLA
+        # data dependencies.
         kfs.X, kfs.C, kfs.N = out.kX, out.kC, out.kN
         kfs.N_updates, kfs.score = out.kNU, out.kscore
         kfs.T_WC, kfs.feat, kfs.pos = out.kT, out.kfeat, out.kpos
         kfs.dataset_idx = out.kdix
         tr.idx_f2k = out.idx_last
+
+        try:   # start the stats transfer early; harmless if unsupported
+            out.hoststats.copy_to_host_async()
+        except Exception:
+            pass
+        return (out, ids, imgs_np, imgs)
+
+    def process_window(self, ids, imgs_np) -> int:
+        """Track ``len(ids)`` frames in ONE device dispatch. Returns the
+        number of frames consumed — on a skip/failure mid-window, the
+        prefix is committed, the system enters RELOC at the offending
+        frame, and the caller resumes with the per-frame path."""
+        return self.consume_window(self.dispatch_window(ids, imgs_np))
+
+    def consume_window(self, pending) -> int:
+        """Read back the per-window stats and do the host bookkeeping for a
+        window started with ``dispatch_window``."""
+        out, ids, imgs_np, imgs = pending
+        kfs = self.keyframes
+        tr = self.tracker
+        W = len(ids)
+        ds = self.downsample
 
         hs = np.asarray(out.hoststats)   # the single per-window readback
         consumed = 0
@@ -939,9 +963,14 @@ class SLAMSystem:
                 for t in ids:
                     _, img = dataset[t]
                     imgs_np.append(resize_img(img, dataset.img_size)["img"])
-                i += self.process_window(ids, imgs_np)
+                # dispatch the window, then drain backend work queued by
+                # PREVIOUS windows while the device runs this one (the
+                # backend's jitted steps queue behind the window through
+                # XLA data deps), and only then block on the stats readback
+                pending = self.dispatch_window(ids, imgs_np)
                 while self.backend_step():
                     pass
+                i += self.consume_window(pending)
             else:
                 _, img = dataset[i]
                 res = resize_img(img, dataset.img_size)
