@@ -25,6 +25,8 @@ dust3r/model.py:90-97). Tensors arrive as numpy arrays (use
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .mast3r import MASt3RConfig
@@ -161,10 +163,14 @@ def convert_state_dict(sd, cfg: MASt3RConfig):
                        for i in range(cfg.enc_depth)],
         "enc_norm": _norm(sd, "enc_norm"),
         "decoder_embed": _lin(sd, "decoder_embed"),
-        "dec_blocks": [_dec_block(sd, f"dec_blocks.{i}")
-                       for i in range(cfg.dec_depth)],
-        "dec_blocks2": [_dec_block(sd, f"{dec2_prefix}.{i}")
-                        for i in range(cfg.dec_depth)],
+        # streams stacked along a leading axis (vit.decode runs both as one
+        # batched pass); stream 0 = dec_blocks, stream 1 = dec_blocks2
+        "dec_blocks_s": [
+            jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                         _dec_block(sd, f"dec_blocks.{i}"),
+                         _dec_block(sd, f"{dec2_prefix}.{i}"))
+            for i in range(cfg.dec_depth)
+        ],
         "dec_norm": _norm(sd, "dec_norm"),
         "head1": _head(sd, "downstream_head1"),
         "head2": _head(sd, "downstream_head2"),

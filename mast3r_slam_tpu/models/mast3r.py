@@ -199,12 +199,17 @@ def init_params(key, cfg: MASt3RConfig):
         ],
         "enc_norm": _norm_init(ed),
         "decoder_embed": _linear_init(ks[2], ed, dd),
-        "dec_blocks": [
-            _dec_block_init(jax.random.fold_in(ks[3], i), dd, cfg.mlp_ratio)
-            for i in range(cfg.dec_depth)
-        ],
-        "dec_blocks2": [
-            _dec_block_init(jax.random.fold_in(ks[4], i), dd, cfg.mlp_ratio)
+        # the two weight-distinct decoder streams (dust3r/model.py:72,90-97)
+        # are stored STACKED along a leading stream axis (leaf shape
+        # (2, ...)) so both run as one batched MXU pass per block
+        # (vit.decode); stream 0 tracks dec_blocks, stream 1 dec_blocks2
+        "dec_blocks_s": [
+            jax.tree.map(
+                lambda a, b: jnp.stack([a, b]),
+                _dec_block_init(jax.random.fold_in(ks[3], i), dd,
+                                cfg.mlp_ratio),
+                _dec_block_init(jax.random.fold_in(ks[4], i), dd,
+                                cfg.mlp_ratio))
             for i in range(cfg.dec_depth)
         ],
         "dec_norm": _norm_init(dd),

@@ -128,19 +128,28 @@ def decode(params, f1, pos1, f2, pos2, cfg, dtype=jnp.bfloat16):
     Spec: dust3r/model.py _decoder (:171-190). Output lists have
     dec_depth + 1 entries: [encoder tokens, block1 out, ..., block12 out
     (normed)] — exactly the hook indexing the DPT head expects.
+
+    TPU-native layout: the two weight-distinct streams are stored stacked
+    (params["dec_blocks_s"], leaf shape (2, ...)) and each block runs both
+    streams as ONE vmapped/batched pass — every matmul becomes a 2-batch
+    MXU op instead of two back-to-back kernels, and the cross-attention
+    memory is just the stream-flipped activations.
     """
-    out1 = [f1]
-    out2 = [f2]
-    x1 = linear(params["decoder_embed"], f1, dtype).astype(dtype)
-    x2 = linear(params["decoder_embed"], f2, dtype).astype(dtype)
-    for blk1, blk2 in zip(params["dec_blocks"], params["dec_blocks2"]):
-        nx1 = decoder_block(blk1, x1, x2, pos1, pos2, cfg.dec_num_heads,
-                            cfg.rope_base, dtype)
-        nx2 = decoder_block(blk2, x2, x1, pos2, pos1, cfg.dec_num_heads,
-                            cfg.rope_base, dtype)
-        x1, x2 = nx1, nx2
-        out1.append(x1)
-        out2.append(x2)
-    out1[-1] = layernorm(params["dec_norm"], out1[-1])
-    out2[-1] = layernorm(params["dec_norm"], out2[-1])
+    f = jnp.stack([f1, f2])            # (2, b, n, ed)
+    pos = jnp.stack([pos1, pos2])      # (2, b, n, 2)
+    pos_sw = pos[::-1]
+    out = [f]
+    x = linear(params["decoder_embed"], f, dtype).astype(dtype)
+
+    def blk_fn(p, x_, y_, xp, yp):
+        return decoder_block(p, x_, y_, xp, yp, cfg.dec_num_heads,
+                             cfg.rope_base, dtype)
+
+    vblk = jax.vmap(blk_fn)
+    for blk_s in params["dec_blocks_s"]:
+        x = vblk(blk_s, x, x[::-1], pos, pos_sw)
+        out.append(x)
+    out[-1] = layernorm(params["dec_norm"], out[-1])
+    out1 = [o[0] for o in out]
+    out2 = [o[1] for o in out]
     return out1, out2
