@@ -236,17 +236,12 @@ class WindowOut(NamedTuple):
     kdix: jnp.ndarray
 
 
-@partial(jax.jit,
-         static_argnames=("cfg", "mcfg", "tcfg", "ds", "fuse_mode",
-                          "score_fn", "use_calib", "img_size", "window",
-                          "model_mod"),
-         donate_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18))
-def _track_window_fused(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
-                        prev_T_WC, K, last_idx,
-                        kX, kC, kN, kNU, kscore, kT, kfeat, kpos, kdix,
-                        ds: int, fuse_mode: str, score_fn: str,
-                        use_calib: bool, img_size, window: int,
-                        model_mod=mast3r):
+def _track_window_body(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
+                       prev_T_WC, K, last_idx,
+                       kX, kC, kN, kNU, kscore, kT, kfeat, kpos, kdix,
+                       ds: int, fuse_mode: str, score_fn: str,
+                       use_calib: bool, img_size, window: int,
+                       model_mod=mast3r):
     """Micro-batched streaming frontend: ``window`` frames in ONE dispatch.
 
     TPU-native beyond the reference (which steps frame-by-frame on the
@@ -372,6 +367,13 @@ def _track_window_fused(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
         feat_last=feat_last, pos_last=pos_last,
         kX=kX, kC=kC, kN=kN, kNU=kNU, kscore=kscore, kT=kT, kfeat=kfeat,
         kpos=kpos, kdix=kdix)
+
+
+_track_window_fused = partial(
+    jax.jit,
+    static_argnames=("cfg", "mcfg", "tcfg", "ds", "fuse_mode", "score_fn",
+                     "use_calib", "img_size", "window", "model_mod"),
+    donate_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18))(_track_window_body)
 
 
 class TrackerRunner:
