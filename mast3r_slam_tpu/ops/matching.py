@@ -273,7 +273,13 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
         idx_1_to_2_init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     p_init = lin_to_pixel(idx_1_to_2_init, w).astype(X11.dtype)
 
-    if coarse_iter > 0 and h % 2 == 0 and w % 2 == 0:
+    if coarse_iter > 0 and (h % 2 or w % 2):
+        raise ValueError(
+            f"coarse_iter > 0 needs an even working resolution, got "
+            f"{h}x{w}; set matching.coarse_iter: 0 for this image size "
+            "(a silent fall-through would leave only max_iter LM "
+            "iterations and quietly under-converge the projection)")
+    if coarse_iter > 0:
         p_img = p_init.reshape(b, h, w, 2)
         t_img = pts3d_norm.reshape(b, h, w, 3)
         pc = p_img[:, ::2, ::2].reshape(b, n // 4, 2)

@@ -54,6 +54,12 @@ def track_window_dp(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
 
     seq_args = (imgs, frame_ids, idx_init, prev_T_WC, K, last_idx,
                 kX, kC, kN, kNU, kscore, kT, kfeat, kpos, kdix)
+    n_seq_devices = mesh.shape["seq"]
+    if imgs.shape[0] != n_seq_devices:
+        raise ValueError(
+            f"track_window_dp maps one sequence per device: got S = "
+            f"{imgs.shape[0]} sequences on a {n_seq_devices}-device seq "
+            "axis (a larger S would silently drop sequences)")
 
     def one(params, *args):
         # per-shard leading dim is S / n_devices == 1

@@ -62,6 +62,10 @@ def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
     else:
         kw = mcfg._asdict()
         kw["subpixel"] = False   # BA gathers by index (reference semantics)
+        # edge matches are COLD-started (no warm-start index): keep the
+        # reference's full LM budget even when the tracking preset trims
+        # max_iter for warm-started frames (e.g. tpu_fast max_iter=1)
+        kw["max_iter"] = max(int(kw["max_iter"]), 10)
         idx, valid = matching.match(X11, X21, D11, D21, **kw)
     hw = X11.shape[1] * X11.shape[2]
     flat = lambda a: a.reshape(b, hw)

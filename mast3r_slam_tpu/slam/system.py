@@ -634,6 +634,13 @@ class SLAMSystem:
 
     # -- frame construction --------------------------------------------------
 
+    def _to_uimg(self, img_np: np.ndarray) -> np.ndarray:
+        """Normalized model input -> display image at the working
+        (post-downsample) resolution; host-side (export/viz only)."""
+        u = img_np * 0.5 + 0.5
+        ds = self.downsample
+        return u[::ds, ::ds] if ds > 1 else u
+
     def make_frame(self, frame_id: int, img_np: np.ndarray) -> Frame:
         """img_np: (h, w, 3) normalized float32 (already resized)."""
         from ..lie import sim3
@@ -641,10 +648,7 @@ class SLAMSystem:
         img = jnp.asarray(img_np)
         T_WC = (self.current_frame.T_WC if self.current_frame is not None
                 else sim3.identity())
-        # uimg stays host-side (export/viz only), at the working resolution
-        ds = self.downsample
-        uimg = (img_np * 0.5 + 0.5)[::ds, ::ds] if ds > 1 else (
-            img_np * 0.5 + 0.5)
+        uimg = self._to_uimg(img_np)
         frame = Frame(frame_id=frame_id, img=img, uimg=uimg, T_WC=T_WC,
                       K=self.K)
         feat, pos = self.model_mod.encode(self.params, img[None],
@@ -765,7 +769,6 @@ class SLAMSystem:
         kfs = self.keyframes
         tr = self.tracker
         W = len(ids)
-        ds = self.downsample
 
         hs = np.asarray(out.hoststats)   # the single per-window readback
         consumed = 0
@@ -781,9 +784,7 @@ class SLAMSystem:
                 kfs.n_size += 1
                 self.stats["keyframes"] += 1
                 self.backend_queue.append(kfs.n_size - 1)
-                uimg = imgs_np[t] * 0.5 + 0.5
-                kfs.uimg[kfs.n_size - 1] = uimg[::ds, ::ds] if ds > 1 else \
-                    uimg
+                kfs.uimg[kfs.n_size - 1] = self._to_uimg(imgs_np[t])
             if self.metrics is not None:
                 self.metrics.log(event="track", frame=ids[t],
                                  new_kf=bool(new_kf), reloc=bool(skipped),
@@ -796,10 +797,9 @@ class SLAMSystem:
                 print(f"{which} frame {ids[t]}")
                 self.stats["skipped"] += 1
                 self.mode = Mode.RELOC
-                uimg = imgs_np[t] * 0.5 + 0.5
                 self.current_frame = Frame(
                     frame_id=ids[t], img=imgs[t],
-                    uimg=uimg[::ds, ::ds] if ds > 1 else uimg,
+                    uimg=self._to_uimg(imgs_np[t]),
                     T_WC=out.T_WCf[t], X_canon=out.Xff[t], C=out.Cff[t],
                     feat=out.feats[t], pos=out.poss[t], N=1, N_updates=1,
                     K=self.K)
@@ -957,6 +957,7 @@ class SLAMSystem:
         i = 0
         W = self.window
         while i < n:
+            i_prev = i
             if (W > 1 and self.single_thread and self.mode == Mode.TRACKING
                     and i + W <= n
                     and len(self.keyframes) + W < self.keyframes.capacity):
@@ -985,8 +986,7 @@ class SLAMSystem:
                     with self.state_lock:
                         self.process_frame(frame)
                 i += 1
-            if progress and i % 30 < (W if self.mode == Mode.TRACKING
-                                      else 1) and i > 0:
+            if progress and i > 0 and i // 30 > i_prev // 30:
                 print(f"FPS: {i / (time.time() - t0):.2f}")
         # drain
         while self.backend_queue or self.reloc_pending:
