@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh")
+    ap.add_argument("--schur", action="store_true",
+                    help="use the Schur-complement solver (parallel/schur.py)"
+                         " on the N-device mesh instead of the dense psum")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -84,10 +87,23 @@ def main():
 
     def run_mesh(nd):
         m = mesh_mod.make_mesh(nd)
-        pad = lambda a, fill=0: mesh_mod.pad_to_multiple(a, nd, 0, fill)
-        f = lambda: dist_ba.gauss_newton_rays_dist(
-            T_init, Xs, Cs, pad(ii), pad(jj), pad(idx), pad(valid, False),
-            pad(Q), pad(mask), jnp.asarray(n_kf), m, cfg)
+        if args.schur and nd > 1:
+            from mast3r_slam_tpu.parallel import schur
+
+            part, ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = \
+                schur.schur_partition(ii, jj, idx, valid, Q, mask,
+                                      K_cap=n_kf, n_shards=nd)
+            f = lambda: schur.gauss_newton_rays_schur(
+                T_init, Xs, Cs, jnp.asarray(part.owner),
+                jnp.asarray(part.int_slot), jnp.asarray(part.sep_slot),
+                jnp.asarray(ii_r), jnp.asarray(jj_r), jnp.asarray(idx_r),
+                jnp.asarray(valid_r), jnp.asarray(Q_r), jnp.asarray(mask_r),
+                jnp.asarray(n_kf), part.I_cap, part.S_cap, m, cfg)
+        else:
+            pad = lambda a, fill=0: mesh_mod.pad_to_multiple(a, nd, 0, fill)
+            f = lambda: dist_ba.gauss_newton_rays_dist(
+                T_init, Xs, Cs, pad(ii), pad(jj), pad(idx), pad(valid, False),
+                pad(Q), pad(mask), jnp.asarray(n_kf), m, cfg)
         float(jnp.sum(f()))  # compile + warm
         t0 = time.time()
         for _ in range(args.iters):

@@ -1,0 +1,260 @@
+"""Schur-complement distributed global bundle adjustment.
+
+The plain distributed solver (dist_ba.py) all-reduces the full dense
+(7K)^2 normal-equation system every GN iteration and factors it
+redundantly on every device. This module implements the scalable
+alternative from the design brief (BASELINE.json north star; no reference
+counterpart — the reference's Eigen solve at gn_kernels.cu:57-159 is
+single-CPU): a domain-decomposition Schur reduction of the keyframe-pose
+system.
+
+Keyframes are partitioned into contiguous blocks, one per device.
+Keyframes touched by a cross-block edge (loop closures, block-boundary
+consecutive edges) form the global *separator* S; the rest are block
+*interiors* I_p. Because an interior keyframe's edges are all owned by
+its block, the interior rows of the Hessian are fully local, and the
+exact block elimination
+
+    S_red = H_SS - sum_p H_SI_p H_II_p^{-1} H_IS_p
+    dx_S  = S_red^{-1} (g_S - sum_p H_SI_p H_II_p^{-1} g_I_p)
+    dx_Ip = H_II_p^{-1} (g_I_p - H_IS_p dx_S)
+
+needs only a psum of the (7*S)^2 reduced separator system per iteration
+(plus a 7K-float psum to re-replicate the interior updates) instead of
+the (7K)^2 dense system — and each device factors only its own
+(7*K/P)^2 interior block plus the small separator system, instead of the
+full (7K)^2 Cholesky. Exact (up to fp and ridge placement): same normal
+equations as slam.ba._solve.
+
+Partitioning is host-side numpy (edges change only when the backend adds
+keyframes; the reference's backend likewise rebuilds edge lists on the
+host, global_opt.py:89-96).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..lie import sim3
+from ..slam import ba
+
+
+class SchurPartition(NamedTuple):
+    """Host-built keyframe partition. Arrays are over keyframe ids.
+
+    owner[k]     — device/block owning keyframe k (contiguous blocks).
+    int_slot[k]  — interior slot of k within its owner block (-1 if k is
+                   a separator keyframe).
+    sep_slot[k]  — separator slot of k (-1 if interior).
+    I_cap, S_cap — static block-interior / separator capacities.
+    """
+
+    owner: np.ndarray
+    int_slot: np.ndarray
+    sep_slot: np.ndarray
+    I_cap: int
+    S_cap: int
+
+
+def schur_partition(ii, jj, idx, valid_match, Q, edge_mask, K_cap: int,
+                    n_shards: int, sep_bucket: int = 8):
+    """Partition keyframes and reorder edges so device p's contiguous
+    edge chunk contains exactly the edges its block owns.
+
+    An edge is owned by the block of its ``ii`` endpoint; a cross-block
+    edge has both endpoints marked separator, so every local edge touches
+    only local interiors and separators. Returns the partition plus the
+    reordered-and-padded edge arrays (pad edges have edge_mask False);
+    the padded edge count is ``n_shards * E_loc`` with E_loc the largest
+    per-block edge count. ``S_cap`` is rounded up to ``sep_bucket`` to
+    bound recompiles as the separator grows.
+    """
+    ii = np.asarray(ii)
+    jj = np.asarray(jj)
+    em = np.asarray(edge_mask).astype(bool)
+
+    I_cap = -(-K_cap // n_shards)
+    owner = np.minimum(np.arange(K_cap) // I_cap, n_shards - 1).astype(
+        np.int32)
+
+    cross = em & (owner[ii] != owner[jj])
+    is_sep = np.zeros(K_cap, bool)
+    is_sep[ii[cross]] = True
+    is_sep[jj[cross]] = True
+
+    sep_ids = np.nonzero(is_sep)[0]
+    S_cap = min(K_cap,
+                max(sep_bucket, sep_bucket * -(-len(sep_ids) // sep_bucket)))
+    sep_slot = np.full(K_cap, -1, np.int32)
+    sep_slot[sep_ids] = np.arange(len(sep_ids), dtype=np.int32)
+    int_slot = np.full(K_cap, -1, np.int32)
+    for p in range(n_shards):
+        blk = np.nonzero((owner == p) & ~is_sep)[0]
+        int_slot[blk] = np.arange(len(blk), dtype=np.int32)
+
+    edge_owner = owner[ii]
+    counts = np.bincount(edge_owner[em], minlength=n_shards)
+    E_loc = max(1, int(counts.max()))
+    order = np.zeros(n_shards * E_loc, dtype=np.int64)   # pad -> edge 0
+    pad_mask = np.zeros(n_shards * E_loc, dtype=bool)
+    for p in range(n_shards):
+        mine = np.nonzero(em & (edge_owner == p))[0]
+        order[p * E_loc:p * E_loc + len(mine)] = mine
+        pad_mask[p * E_loc:p * E_loc + len(mine)] = True
+
+    part = SchurPartition(owner=owner, int_slot=int_slot, sep_slot=sep_slot,
+                          I_cap=int(I_cap), S_cap=int(S_cap))
+    reorder = lambda a: np.asarray(a)[order]
+    mask_r = (reorder(edge_mask) * pad_mask).astype(np.asarray(
+        edge_mask).dtype)
+    return (part, reorder(ii), reorder(jj), reorder(idx),
+            reorder(valid_match), reorder(Q), mask_r)
+
+
+def _chol(Hs):
+    return jax.scipy.linalg.cho_factor(Hs, lower=True)
+
+
+def _equilibrate(Hd, gd, free_rows):
+    """Identity rows for unused slots + Jacobi scaling (mirrors
+    slam.ba._solve so the Schur path matches the dense path's
+    conditioning)."""
+    Hd = Hd + jnp.diag(jnp.where(free_rows, 0.0, 1.0))
+    gd = jnp.where(free_rows, gd, 0.0)
+    d = jnp.sqrt(jnp.maximum(jnp.diag(Hd), 1e-12))
+    d_inv = 1.0 / d
+    Hs = Hd * d_inv[:, None] * d_inv[None, :]
+    Hs = Hs + 1e-8 * jnp.eye(Hd.shape[0])
+    return Hs, gd, d_inv
+
+
+@partial(jax.jit,
+         static_argnames=("I_cap", "S_cap", "cfg", "mesh", "axis"))
+def gauss_newton_rays_schur(T_WCs, Xs, Cs, owner, int_slot, sep_slot,
+                            ii, jj, idx_ii2jj, valid_match, Q, edge_mask,
+                            n_kf, I_cap: int, S_cap: int, mesh: Mesh,
+                            cfg: ba.BAConfig, axis: str = "edge"):
+    """Ray/dist global GN with per-block Schur elimination.
+
+    Same contract as slam.ba.gauss_newton_rays over edge arrays reordered
+    by ``schur_partition`` (device p's chunk = its block's edges). Xs/Cs
+    replicated; per-iteration communication is one psum of the
+    (7*S_cap)^2 reduced system + one 7K psum of interior updates.
+    """
+    K_cap = T_WCs.shape[0]
+    D = 7
+    nI, nS = D * I_cap, D * S_cap
+    SENT = I_cap + S_cap                     # sentinel block row
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(T0, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l):
+        p = jax.lax.axis_index(axis)
+        pre = ba._edge_prep(Xs, Cs, ii_l, jj_l, idx_l, vm_l)
+        safe_idx_l = pre[4]
+
+        kf_ids = jnp.arange(K_cap)
+        kf_act = (kf_ids >= cfg.pin) & (kf_ids < n_kf)
+
+        # endpoint -> local block row: interiors first, then separators
+        def slot(k):
+            act = (k >= cfg.pin) & (k < n_kf)
+            s = jnp.where(sep_slot[k] >= 0, I_cap + sep_slot[k], int_slot[k])
+            local = (sep_slot[k] >= 0) | (owner[k] == p)
+            return jnp.where(act & local & (s >= 0), s, SENT)
+
+        si, sj = slot(ii_l), slot(jj_l)
+
+        # used-slot masks (identity diagonals for the rest)
+        mine = (owner == p) & (sep_slot < 0) & kf_act & (int_slot >= 0)
+        used_I = jnp.zeros(I_cap + 1, bool).at[
+            jnp.where(mine, int_slot, I_cap)].set(True)[:I_cap]
+        free_I = jnp.repeat(used_I, D)
+        used_S = jnp.zeros(S_cap + 1, bool).at[
+            jnp.where((sep_slot >= 0) & kf_act, sep_slot, S_cap)
+        ].set(True)[:S_cap]
+        free_S = jnp.repeat(used_S, D)
+
+        def solve(H, g):
+            # local [I|S] x [I|S] block assembly (cf. ba._assemble)
+            L = I_cap + S_cap
+            Hb = jnp.zeros((L + 1, L + 1, D, D))
+            Hb = Hb.at[si, si].add(H[:, 0:7, 0:7])
+            Hb = Hb.at[si, sj].add(H[:, 0:7, 7:14])
+            Hb = Hb.at[sj, si].add(H[:, 7:14, 0:7])
+            Hb = Hb.at[sj, sj].add(H[:, 7:14, 7:14])
+            gb = jnp.zeros((L + 1, D))
+            gb = gb.at[si].add(g[:, 0:7])
+            gb = gb.at[sj].add(g[:, 7:14])
+            Hd = Hb[:L, :L].transpose(0, 2, 1, 3).reshape(L * D, L * D)
+            gd = gb[:L].reshape(L * D)
+
+            H_II, H_IS = Hd[:nI, :nI], Hd[:nI, nI:]
+            H_SS, g_I, g_S = Hd[nI:, nI:], gd[:nI], gd[nI:]
+
+            # local interior factor (interior rows are complete locally)
+            Hs_II, g_I, dIinv = _equilibrate(H_II, g_I, free_I)
+            LII = _chol(Hs_II)
+            B = H_IS * dIinv[:, None]                    # D^-1/2 H_IS
+            W = jax.scipy.linalg.cho_solve(LII, B)
+            gt = jax.scipy.linalg.cho_solve(LII, g_I * dIinv)
+            S_red = H_SS - B.T @ W
+            g_red = g_S - B.T @ gt
+
+            # reduced separator system: the only O(S^2) communication
+            S_red = jax.lax.psum(S_red, axis)
+            g_red = jax.lax.psum(g_red, axis)
+            Hs_S, g_red, dSinv = _equilibrate(S_red, g_red, free_S)
+            LSS = _chol(Hs_S)
+            x_S = dSinv * jax.scipy.linalg.cho_solve(LSS, g_red * dSinv)
+
+            # local back-substitution
+            x_I = dIinv * jax.scipy.linalg.cho_solve(
+                LII, dIinv * (g_I - H_IS @ x_S))
+
+            ok = jnp.all(jnp.isfinite(x_I)) & jnp.all(jnp.isfinite(x_S))
+            x_I = jnp.where(ok, x_I, 0.0)
+            x_S = jnp.where(ok, x_S, 0.0)
+
+            # scatter to global (K_cap, 7); interiors are disjoint by shard
+            xIb = x_I.reshape(I_cap, D)
+            xSb = x_S.reshape(S_cap, D)
+            dx_int = jnp.where(mine[:, None],
+                               xIb[jnp.clip(int_slot, 0)], 0.0)
+            dx_int = jax.lax.psum(dx_int, axis)
+            dx_sep = jnp.where(((sep_slot >= 0) & kf_act)[:, None],
+                               xSb[jnp.clip(sep_slot, 0)], 0.0)
+            return -(dx_int + dx_sep), kf_act
+
+        def body(state):
+            T, it, done = state
+            H, g = ba._edge_terms_rays(T, None, None, ii_l, jj_l, safe_idx_l,
+                                       vm_l, Q_l, mask_l, cfg, pre=pre)
+            dx, free = solve(H, g)
+            T_new = sim3.retr(T, dx)
+            T = jnp.where(free[:, None], T_new, T)
+            delta = jnp.linalg.norm(jnp.where(free[:, None], dx, 0.0))
+            return T, it + 1, delta < cfg.delta_norm
+
+        def cond(state):
+            _, it, done = state
+            return (~done) & (it < cfg.max_iters)
+
+        T, _, _ = jax.lax.while_loop(
+            cond, body, (T0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        )
+        return T
+
+    return run(T_WCs, ii, jj, idx_ii2jj, valid_match, Q, edge_mask)

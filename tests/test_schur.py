@@ -1,0 +1,107 @@
+"""Schur-complement distributed BA == dense single-device BA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mast3r_slam_tpu.lie import sim3
+from mast3r_slam_tpu.parallel import mesh as mesh_mod, schur
+from mast3r_slam_tpu.slam import ba
+
+from test_ba import _edges, _make_world
+
+
+def _setup(key, n_kf, P, K_cap=None, extra=()):
+    T_true, Xs = _make_world(key, n_kf, P)
+    Cs = jnp.full((n_kf, P), 5.0)
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=extra)
+    if K_cap and K_cap > n_kf:
+        padk = K_cap - n_kf
+        T_true = jnp.concatenate(
+            [T_true, jnp.tile(sim3.identity()[None], (padk, 1))])
+        Xs = jnp.concatenate([Xs, jnp.zeros((padk, P, 3))])
+        Cs = jnp.concatenate([Cs, jnp.zeros((padk, P))])
+    noise = 0.05 * jax.random.normal(jax.random.fold_in(key, 7),
+                                     (T_true.shape[0], 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+    return T_true, T_init, Xs, Cs, ii, jj, idx, valid, Q, mask
+
+
+def test_partition_separator_and_ownership():
+    n_kf, P = 12, 16
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=[(0, 11), (2, 9)])
+    part, ii_r, jj_r, *_ , mask_r = schur.schur_partition(
+        ii, jj, idx, valid, Q, mask, K_cap=12, n_shards=4)
+    assert part.I_cap == 3
+    owner, sep = part.owner, part.sep_slot
+    # cross-block endpoints are separators
+    for a, b in [(0, 11), (2, 9)]:
+        assert sep[a] >= 0 and sep[b] >= 0
+    # block-boundary consecutive edges force separators too (2,3), ...
+    assert sep[3] >= 0 and sep[5] >= 0 and sep[6] >= 0
+    # every kf is exactly one of interior/separator
+    assert np.all((part.int_slot >= 0) ^ (sep >= 0))
+    # each device chunk only holds edges owned by its block
+    E_loc = len(ii_r) // 4
+    m = np.asarray(mask_r, bool)
+    for p in range(4):
+        sl = slice(p * E_loc, (p + 1) * E_loc)
+        assert np.all(owner[np.asarray(ii_r)[sl][m[sl]]] == p)
+    # no masked edge was dropped
+    assert m.sum() == np.asarray(mask, bool).sum()
+
+
+def test_schur_gn_matches_single_device():
+    assert jax.device_count() >= 8
+    key = jax.random.PRNGKey(0)
+    n_kf, P = 13, 256
+    T_true, T_init, Xs, Cs, ii, jj, idx, valid, Q, mask = _setup(
+        key, n_kf, P, K_cap=16, extra=[(0, n_kf - 1), (3, 10)])
+
+    cfg = ba.BAConfig(max_iters=10, point_chunk=256)
+    T_dense = ba.gauss_newton_rays(T_init, Xs, Cs, ii, jj, idx, valid, Q,
+                                   mask, jnp.asarray(n_kf), cfg)
+
+    m = mesh_mod.make_mesh(8)
+    part, ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.schur_partition(
+        ii, jj, idx, valid, Q, mask, K_cap=16, n_shards=8)
+    T_schur = schur.gauss_newton_rays_schur(
+        T_init, Xs, Cs, jnp.asarray(part.owner), jnp.asarray(part.int_slot),
+        jnp.asarray(part.sep_slot), jnp.asarray(ii_r), jnp.asarray(jj_r),
+        jnp.asarray(idx_r), jnp.asarray(valid_r), jnp.asarray(Q_r),
+        jnp.asarray(mask_r), jnp.asarray(n_kf), part.I_cap, part.S_cap,
+        m, cfg)
+
+    np.testing.assert_allclose(np.asarray(T_schur)[:n_kf],
+                               np.asarray(T_dense)[:n_kf], atol=1e-3)
+    # and it actually solved the problem, not just matched noise
+    err = jax.vmap(lambda a, b: sim3.log(sim3.mul(sim3.inv(a), b)))(
+        T_true[:n_kf], T_schur[:n_kf])
+    assert float(jnp.abs(err).max()) < 2e-3
+
+
+def test_schur_gn_all_separator_degenerate():
+    """A fully-connected tiny graph (everything separator) still matches."""
+    assert jax.device_count() >= 8
+    key = jax.random.PRNGKey(2)
+    n_kf, P = 4, 128
+    extra = [(0, 2), (0, 3), (1, 3)]
+    T_true, T_init, Xs, Cs, ii, jj, idx, valid, Q, mask = _setup(
+        key, n_kf, P, extra=extra)
+
+    cfg = ba.BAConfig(max_iters=8, point_chunk=128)
+    T_dense = ba.gauss_newton_rays(T_init, Xs, Cs, ii, jj, idx, valid, Q,
+                                   mask, jnp.asarray(n_kf), cfg)
+
+    m = mesh_mod.make_mesh(8)
+    part, ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.schur_partition(
+        ii, jj, idx, valid, Q, mask, K_cap=4, n_shards=8)
+    T_schur = schur.gauss_newton_rays_schur(
+        T_init, Xs, Cs, jnp.asarray(part.owner), jnp.asarray(part.int_slot),
+        jnp.asarray(part.sep_slot), jnp.asarray(ii_r), jnp.asarray(jj_r),
+        jnp.asarray(idx_r), jnp.asarray(valid_r), jnp.asarray(Q_r),
+        jnp.asarray(mask_r), jnp.asarray(n_kf), part.I_cap, part.S_cap,
+        m, cfg)
+    np.testing.assert_allclose(np.asarray(T_schur), np.asarray(T_dense),
+                               atol=1e-3)
