@@ -90,9 +90,11 @@ def main():
         if args.schur and nd > 1:
             from mast3r_slam_tpu.parallel import schur
 
-            part, ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = \
-                schur.schur_partition(ii, jj, idx, valid, Q, mask,
-                                      K_cap=n_kf, n_shards=nd)
+            part, order, keep = schur.schur_partition(ii, jj, mask,
+                                                      K_cap=n_kf,
+                                                      n_shards=nd)
+            ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.reorder_edges(
+                order, keep, ii, jj, idx, valid, Q, mask)
             f = lambda: schur.gauss_newton_rays_schur(
                 T_init, Xs, Cs, jnp.asarray(part.owner),
                 jnp.asarray(part.int_slot), jnp.asarray(part.sep_slot),

@@ -34,6 +34,18 @@ def main(argv=None):
     parser.add_argument("--profile-dir", default="",
                         help="capture a jax.profiler trace to this directory")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ba-backend", default="",
+                        choices=["", "dense", "edge_sharded", "schur"],
+                        help="override parallel.ba_backend: distribute "
+                             "global BA over all visible devices")
+    parser.add_argument("--metrics", default="",
+                        help="write per-frame/per-solve metrics JSONL here")
+    parser.add_argument("--save-state", default="",
+                        help="checkpoint full SLAM runtime state (npz) here "
+                             "at the end of the run")
+    parser.add_argument("--resume", default="",
+                        help="restore SLAM runtime state from a --save-state "
+                             "npz before processing frames")
     args = parser.parse_args(argv)
 
     import jax
@@ -46,6 +58,10 @@ def main(argv=None):
     from mast3r_slam_tpu.slam.system import SLAMSystem
 
     cfg = config_mod.load_config(args.config)
+    if args.ba_backend:
+        cfg = dict(cfg)
+        cfg["parallel"] = dict(cfg.get("parallel", {}),
+                               ba_backend=args.ba_backend)
     print(f"dataset: {args.dataset}")
 
     use_calib = bool(cfg.get("use_calib", False))
@@ -103,8 +119,37 @@ def main(argv=None):
 
         K = jnp.asarray(dataset.camera_intrinsics.K_frame, dtype=jnp.float32)
 
+    mesh = None
+    ba_backend = cfg.get("parallel", {}).get("ba_backend", "dense")
+    if ba_backend != "dense":
+        if jax.device_count() > 1:
+            from mast3r_slam_tpu.parallel import mesh as mesh_mod
+
+            mesh = mesh_mod.make_mesh(jax.device_count())
+            print(f"global BA: {ba_backend} over {mesh.size} devices")
+        else:
+            print(f"global BA: {ba_backend} requested but only one device "
+                  "visible; using the dense solver")
+
+    metrics = None
+    if args.metrics:
+        from mast3r_slam_tpu.utils.metrics import Metrics
+
+        metrics = Metrics(args.metrics)
+
     system = SLAMSystem(params, model_cfg, cfg, (h, w),
-                        retrieval_params=rparams, K=K)
+                        retrieval_params=rparams, K=K, metrics=metrics,
+                        mesh=mesh)
+    start_frame = 0
+    if args.resume:
+        from mast3r_slam_tpu.slam import checkpoint
+
+        checkpoint.load_state(args.resume, system)
+        start_frame = system.resume_frame
+        print(f"resumed SLAM state from {args.resume} "
+              f"({len(system.keyframes)} keyframes, "
+              f"{system.factor_graph.n_edges} edges, "
+              f"next frame {start_frame})")
 
     t0 = time.time()
     if args.profile_dir:
@@ -112,14 +157,21 @@ def main(argv=None):
 
         with ProfilerTrace(args.profile_dir):
             stats = system.run(dataset, max_frames=args.max_frames,
-                               progress=True)
+                               progress=True, start_frame=start_frame)
     else:
-        stats = system.run(dataset, max_frames=args.max_frames, progress=True)
+        stats = system.run(dataset, max_frames=args.max_frames,
+                           progress=True, start_frame=start_frame)
     elapsed = time.time() - t0
     n = len(dataset) if args.max_frames is None else min(args.max_frames,
                                                          len(dataset))
     print(f"done: {n} frames in {elapsed:.1f}s = {n / elapsed:.2f} FPS")
     print(f"stats: {stats}")
+
+    if args.save_state:
+        from mast3r_slam_tpu.slam import checkpoint
+
+        checkpoint.save_state(args.save_state, system)
+        print(f"saved SLAM state to {args.save_state}")
 
     if dataset.save_results:
         save_dir = pathlib.Path("logs")

@@ -119,6 +119,7 @@ def make_factor_graph_config(cfg: dict, edge_capacity: int = 256
         edge_capacity=edge_capacity, Q_conf=float(o["Q_conf"]),
         min_match_frac=float(o["min_match_frac"]),
         matcher=str(o.get("matcher", "iter_proj")),
+        ba_backend=str(cfg.get("parallel", {}).get("ba_backend", "dense")),
     )
 
 

@@ -63,18 +63,20 @@ class SchurPartition(NamedTuple):
     S_cap: int
 
 
-def schur_partition(ii, jj, idx, valid_match, Q, edge_mask, K_cap: int,
-                    n_shards: int, sep_bucket: int = 8):
-    """Partition keyframes and reorder edges so device p's contiguous
-    edge chunk contains exactly the edges its block owns.
+def schur_partition(ii, jj, edge_mask, K_cap: int, n_shards: int,
+                    sep_bucket: int = 8):
+    """Partition keyframes and compute an edge permutation so device p's
+    contiguous edge chunk contains exactly the edges its block owns.
 
     An edge is owned by the block of its ``ii`` endpoint; a cross-block
     edge has both endpoints marked separator, so every local edge touches
-    only local interiors and separators. Returns the partition plus the
-    reordered-and-padded edge arrays (pad edges have edge_mask False);
-    the padded edge count is ``n_shards * E_loc`` with E_loc the largest
-    per-block edge count. ``S_cap`` is rounded up to ``sep_bucket`` to
-    bound recompiles as the separator grows.
+    only local interiors and separators. Returns ``(part, order, keep)``:
+    apply them to the (possibly large) edge payloads with
+    ``reorder_edges`` — the permutation itself needs only the small
+    host-side ii/jj/mask arrays. The permuted edge count is
+    ``n_shards * E_loc`` with E_loc the largest per-block edge count;
+    ``keep`` is False on pad slots. ``S_cap`` is rounded up to
+    ``sep_bucket`` to bound recompiles as the separator grows.
     """
     ii = np.asarray(ii)
     jj = np.asarray(jj)
@@ -102,20 +104,26 @@ def schur_partition(ii, jj, idx, valid_match, Q, edge_mask, K_cap: int,
     edge_owner = owner[ii]
     counts = np.bincount(edge_owner[em], minlength=n_shards)
     E_loc = max(1, int(counts.max()))
-    order = np.zeros(n_shards * E_loc, dtype=np.int64)   # pad -> edge 0
-    pad_mask = np.zeros(n_shards * E_loc, dtype=bool)
+    order = np.zeros(n_shards * E_loc, dtype=np.int32)   # pad -> edge 0
+    keep = np.zeros(n_shards * E_loc, dtype=bool)
     for p in range(n_shards):
         mine = np.nonzero(em & (edge_owner == p))[0]
         order[p * E_loc:p * E_loc + len(mine)] = mine
-        pad_mask[p * E_loc:p * E_loc + len(mine)] = True
+        keep[p * E_loc:p * E_loc + len(mine)] = True
 
     part = SchurPartition(owner=owner, int_slot=int_slot, sep_slot=sep_slot,
                           I_cap=int(I_cap), S_cap=int(S_cap))
-    reorder = lambda a: np.asarray(a)[order]
-    mask_r = (reorder(edge_mask) * pad_mask).astype(np.asarray(
-        edge_mask).dtype)
-    return (part, reorder(ii), reorder(jj), reorder(idx),
-            reorder(valid_match), reorder(Q), mask_r)
+    return part, order, keep
+
+
+def reorder_edges(order, keep, ii, jj, idx, valid_match, Q, edge_mask):
+    """Apply a schur_partition edge permutation to the edge payloads
+    on-device (the (E, P) match arrays are too large to round-trip to
+    host). Pad slots get edge_mask zero."""
+    take = lambda a: jnp.take(jnp.asarray(a), jnp.asarray(order), axis=0)
+    mask_r = take(edge_mask) * jnp.asarray(keep, take(edge_mask).dtype)
+    return (take(ii), take(jj), take(idx), take(valid_match), take(Q),
+            mask_r)
 
 
 def _chol(Hs):

@@ -41,6 +41,11 @@ def save_state(path, system):
         "fg_Q": np.asarray(fg.Q),
         "mode": np.asarray(system.mode.value),
         "backend_queue": np.asarray(system.backend_queue, dtype=np.int64),
+        "last_frame_id": np.asarray(
+            system.current_frame.frame_id
+            if system.current_frame is not None
+            else (int(np.asarray(kf.dataset_idx[: kf.n_size]).max())
+                  if kf.n_size else -1)),
     }
     if system.retrieval is not None:
         arrays["retrieval_kf_counter"] = np.asarray(
@@ -83,7 +88,12 @@ def load_state(path, system):
     fg.idx_ii2jj = jnp.asarray(data["fg_idx"])
     fg.valid_match = jnp.asarray(data["fg_valid"])
     fg.Q = jnp.asarray(data["fg_Q"])
-    system.mode = Mode(int(data["mode"]))
+    mode = Mode(int(data["mode"]))
+    if mode == Mode.TERMINATED:
+        # an end-of-run checkpoint: resuming means processing MORE frames,
+        # so re-enter the live state machine
+        mode = Mode.TRACKING if kf.n_size else Mode.INIT
+    system.mode = mode
     system.backend_queue = [int(x) for x in data["backend_queue"]]
     if system.retrieval is not None and "retrieval_kf_counter" in data:
         # rebuild the IVF from stored keyframe features (deterministic)
@@ -100,4 +110,7 @@ def load_state(path, system):
         system.current_frame = Frame(
             frame_id=-1, img=None, uimg=None,
             T_WC=jnp.asarray(data["current_T_WC"]))
+    # next dataset frame to process (for run(start_frame=...))
+    system.resume_frame = int(data["last_frame_id"]) + 1 \
+        if "last_frame_id" in data else 0
     return system

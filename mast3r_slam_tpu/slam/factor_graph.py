@@ -32,6 +32,11 @@ class FactorGraphConfig(NamedTuple):
                                 # (TPU-native coarse-to-fine correlation;
                                 # more robust without a warm start, ~2x
                                 # faster per edge)
+    ba_backend: str = "dense"   # "dense" (single device), "edge_sharded"
+                                # (parallel/dist_ba.py) or "schur"
+                                # (parallel/schur.py); the latter two need
+                                # a mesh passed to FactorGraph and apply to
+                                # the ray solver (calib BA stays dense)
 
 
 @partial(jax.jit, static_argnames=("cfg", "mcfg", "ds", "matcher",
@@ -111,7 +116,8 @@ class FactorGraph:
     def __init__(self, params, model_cfg, keyframes: KeyframeStore,
                  cfg: FactorGraphConfig, ba_cfg: ba.BAConfig,
                  mcfg: MatchingConfig, K=None, downsample: int = 1,
-                 model_module=mast3r):
+                 model_module=mast3r, mesh=None):
+        self.mesh = mesh
         self.downsample = downsample
         self.model_mod = model_module
         self.params = params
@@ -240,13 +246,39 @@ class FactorGraph:
         if self.n_edges == 0 or len(self.frames) <= self.ba_cfg.pin:
             return
         Eb, Kb = self._buckets()
-        T = ba.gauss_newton_rays(
-            self.frames.T_WC[:Kb], self.frames.X[:Kb],
-            self.frames.average_confs()[:Kb],
-            self.ii[:Eb], self.jj[:Eb], self.idx_ii2jj[:Eb],
-            self.valid_match[:Eb], self.Q[:Eb],
-            self.edge_mask[:Eb], jnp.asarray(len(self.frames)), self.ba_cfg,
-        )
+        backend = (self.cfg.ba_backend
+                   if self.mesh is not None and self.mesh.size > 1
+                   else "dense")
+        args = (self.frames.T_WC[:Kb], self.frames.X[:Kb],
+                self.frames.average_confs()[:Kb],
+                self.ii[:Eb], self.jj[:Eb], self.idx_ii2jj[:Eb],
+                self.valid_match[:Eb], self.Q[:Eb], self.edge_mask[:Eb],
+                jnp.asarray(len(self.frames)))
+        if backend == "schur":
+            from ..parallel import schur
+
+            part, order, keep = schur.schur_partition(
+                np.asarray(self.ii[:Eb]), np.asarray(self.jj[:Eb]),
+                np.asarray(self.edge_mask[:Eb]), K_cap=Kb,
+                n_shards=self.mesh.size)
+            ii_r, jj_r, idx_r, vm_r, Q_r, mask_r = schur.reorder_edges(
+                order, keep, *args[3:9])
+            T = schur.gauss_newton_rays_schur(
+                args[0], args[1], args[2], jnp.asarray(part.owner),
+                jnp.asarray(part.int_slot), jnp.asarray(part.sep_slot),
+                ii_r, jj_r, idx_r, vm_r, Q_r, mask_r, args[9],
+                part.I_cap, part.S_cap, self.mesh, self.ba_cfg)
+        elif backend == "edge_sharded":
+            from ..parallel import dist_ba, mesh as mesh_mod
+
+            nd = self.mesh.size
+            pad = lambda a, fill=0: mesh_mod.pad_to_multiple(a, nd, 0, fill)
+            T = dist_ba.gauss_newton_rays_dist(
+                args[0], args[1], args[2], pad(args[3]), pad(args[4]),
+                pad(args[5]), pad(args[6], False), pad(args[7]),
+                pad(args[8]), args[9], self.mesh, self.ba_cfg)
+        else:
+            T = ba.gauss_newton_rays(*args, self.ba_cfg)
         self._adopt_poses(T, Kb)
 
     def solve_GN_calib(self):

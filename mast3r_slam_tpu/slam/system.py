@@ -564,7 +564,8 @@ class SLAMSystem:
     def __init__(self, params, model_cfg, config: dict, img_shape,
                  retrieval_params=None, K=None,
                  keyframe_capacity=None, edge_capacity=None, metrics=None,
-                 debug_checks: bool = False, model_module=mast3r):
+                 debug_checks: bool = False, model_module=mast3r,
+                 mesh=None):
         from .. import config as config_mod
 
         h, w = img_shape
@@ -616,7 +617,8 @@ class SLAMSystem:
         self.factor_graph = FactorGraph(params, model_cfg, self.keyframes,
                                         fg_cfg, ba_cfg, mcfg, K=K,
                                         downsample=ds,
-                                        model_module=model_module)
+                                        model_module=model_module,
+                                        mesh=mesh)
         self.retrieval = (
             RetrievalDatabase(retrieval_params) if retrieval_params else None
         )
@@ -924,13 +926,14 @@ class SLAMSystem:
 
     # -- main loop -----------------------------------------------------------
 
-    def run(self, dataset, max_frames=None, progress=False):
+    def run(self, dataset, max_frames=None, progress=False, start_frame=0):
         """End-to-end loop over a dataset.
 
         ``single_thread: True`` (eval default) drains the backend after every
         frame for deterministic results (spec: main.py:291-308 spin-waits);
         otherwise the backend runs in a host thread concurrently with
         frontend tracking (the reference's process parallelism, main.py:228).
+        ``start_frame`` skips already-processed frames (checkpoint resume).
         """
         from ..io.image import resize_img
 
@@ -954,7 +957,7 @@ class SLAMSystem:
             backend_thread.start()
 
         t0 = time.time()
-        i = 0
+        i = int(start_frame)
         W = self.window
         while i < n:
             i_prev = i

@@ -82,6 +82,8 @@ def test_checkpoint_roundtrip(tmp_path):
                                np.asarray(sysA.keyframes.X), atol=1e-6)
     assert sysB.mode == sysA.mode
     assert sysB.backend_queue == sysA.backend_queue
+    # resume continues after the last processed frame (main.py --resume)
+    assert sysB.resume_frame == 1
 
 
 def test_viz_smoke(tmp_path):

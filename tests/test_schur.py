@@ -31,8 +31,10 @@ def _setup(key, n_kf, P, K_cap=None, extra=()):
 def test_partition_separator_and_ownership():
     n_kf, P = 12, 16
     ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=[(0, 11), (2, 9)])
-    part, ii_r, jj_r, *_ , mask_r = schur.schur_partition(
-        ii, jj, idx, valid, Q, mask, K_cap=12, n_shards=4)
+    part, order, keep = schur.schur_partition(ii, jj, mask, K_cap=12,
+                                              n_shards=4)
+    ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.reorder_edges(
+        order, keep, ii, jj, idx, valid, Q, mask)
     assert part.I_cap == 3
     owner, sep = part.owner, part.sep_slot
     # cross-block endpoints are separators
@@ -64,8 +66,10 @@ def test_schur_gn_matches_single_device():
                                    mask, jnp.asarray(n_kf), cfg)
 
     m = mesh_mod.make_mesh(8)
-    part, ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.schur_partition(
-        ii, jj, idx, valid, Q, mask, K_cap=16, n_shards=8)
+    part, order, keep = schur.schur_partition(ii, jj, mask, K_cap=16,
+                                              n_shards=8)
+    ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.reorder_edges(
+        order, keep, ii, jj, idx, valid, Q, mask)
     T_schur = schur.gauss_newton_rays_schur(
         T_init, Xs, Cs, jnp.asarray(part.owner), jnp.asarray(part.int_slot),
         jnp.asarray(part.sep_slot), jnp.asarray(ii_r), jnp.asarray(jj_r),
@@ -95,8 +99,10 @@ def test_schur_gn_all_separator_degenerate():
                                    mask, jnp.asarray(n_kf), cfg)
 
     m = mesh_mod.make_mesh(8)
-    part, ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.schur_partition(
-        ii, jj, idx, valid, Q, mask, K_cap=4, n_shards=8)
+    part, order, keep = schur.schur_partition(ii, jj, mask, K_cap=4,
+                                              n_shards=8)
+    ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.reorder_edges(
+        order, keep, ii, jj, idx, valid, Q, mask)
     T_schur = schur.gauss_newton_rays_schur(
         T_init, Xs, Cs, jnp.asarray(part.owner), jnp.asarray(part.int_slot),
         jnp.asarray(part.sep_slot), jnp.asarray(ii_r), jnp.asarray(jj_r),
@@ -104,4 +110,58 @@ def test_schur_gn_all_separator_degenerate():
         jnp.asarray(mask_r), jnp.asarray(n_kf), part.I_cap, part.S_cap,
         m, cfg)
     np.testing.assert_allclose(np.asarray(T_schur), np.asarray(T_dense),
+                               atol=1e-3)
+
+
+def test_factor_graph_backend_dispatch_matches_dense():
+    """FactorGraph.solve_GN_rays with ba_backend=schur/edge_sharded over a
+    mesh equals the dense single-device solve (the production dispatch,
+    main.py --ba-backend)."""
+    from mast3r_slam_tpu.parallel import mesh as mesh_mod
+    from mast3r_slam_tpu.slam.factor_graph import (FactorGraph,
+                                                   FactorGraphConfig,
+                                                   MatchingConfig)
+    from mast3r_slam_tpu.slam.frame import KeyframeStore
+
+    assert jax.device_count() >= 8
+    key = jax.random.PRNGKey(3)
+    n_kf, P = 9, 128
+    T_true, Xs = _make_world(key, n_kf, P)
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=[(0, n_kf - 1)])
+    noise = 0.04 * jax.random.normal(jax.random.fold_in(key, 5), (n_kf, 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+
+    def build(backend, mesh):
+        kfs = KeyframeStore(16, P, 4, 8, (8, 16), donate=False)
+        for k in range(n_kf):
+            kfs.n_size = k + 1
+            kfs.T_WC = kfs.T_WC.at[k].set(T_init[k])
+            kfs.X = kfs.X.at[k].set(Xs[k])
+            kfs.C = kfs.C.at[k].set(5.0)
+            kfs.N = kfs.N.at[k].set(1)
+        fg = FactorGraph(None, None, kfs,
+                         FactorGraphConfig(edge_capacity=32,
+                                           ba_backend=backend),
+                         ba.BAConfig(max_iters=8, point_chunk=128),
+                         MatchingConfig(), mesh=mesh)
+        E = ii.shape[0]
+        fg.n_edges = E
+        fg.ii = fg.ii.at[:E].set(ii)
+        fg.jj = fg.jj.at[:E].set(jj)
+        fg.idx_ii2jj = fg.idx_ii2jj.at[:E].set(idx)
+        fg.valid_match = fg.valid_match.at[:E].set(valid)
+        fg.Q = fg.Q.at[:E].set(Q)
+        return fg
+
+    m = mesh_mod.make_mesh(8)
+    results = {}
+    for backend, mesh in [("dense", None), ("schur", m),
+                          ("edge_sharded", m)]:
+        fg = build(backend, mesh)
+        fg.solve_GN_rays()
+        results[backend] = np.asarray(fg.frames.T_WC[:n_kf])
+
+    np.testing.assert_allclose(results["schur"], results["dense"], atol=1e-3)
+    np.testing.assert_allclose(results["edge_sharded"], results["dense"],
                                atol=1e-3)
