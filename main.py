@@ -46,6 +46,10 @@ def main(argv=None):
     parser.add_argument("--resume", default="",
                         help="restore SLAM runtime state from a --save-state "
                              "npz before processing frames")
+    parser.add_argument("--estimate-calib", action="store_true",
+                        help="estimate the focal length from the first "
+                             "frame's mono pointmap and run the calibrated "
+                             "pipeline (unknown-camera video, e.g. MP4)")
     args = parser.parse_args(argv)
 
     import jax
@@ -118,6 +122,31 @@ def main(argv=None):
         import jax.numpy as jnp
 
         K = jnp.asarray(dataset.camera_intrinsics.K_frame, dtype=jnp.float32)
+    elif args.estimate_calib:
+        # unknown camera: estimate the focal from the first frame's mono
+        # pointmap (Weiszfeld IRLS, geometry.estimate_focal), then run the
+        # calibrated pipeline with the estimated pinhole model
+        import jax.numpy as jnp
+
+        from mast3r_slam_tpu import geometry
+        from mast3r_slam_tpu.io.image import resize_img
+        from mast3r_slam_tpu.models import mast3r as mast3r_mod
+
+        _, img0 = dataset[0]
+        img = jnp.asarray(resize_img(img0, dataset.img_size)["img"])[None]
+        feat, pos = mast3r_mod.encode(params, img, model_cfg)
+        X, C = mast3r_mod.inference_mono(params, feat, pos, model_cfg)
+        f = float(geometry.estimate_focal(X[0], (h, w), conf=C[0, :, 0]))
+        if f > 0.1 * max(h, w):
+            K = jnp.asarray([[f, 0.0, w / 2.0], [0.0, f, h / 2.0],
+                             [0.0, 0.0, 1.0]], jnp.float32)
+            cfg = dict(cfg)
+            cfg["use_calib"] = True
+            use_calib = True
+            print(f"estimated focal: {f:.2f} px (frame size {h}x{w})")
+        else:
+            print(f"estimated focal {f:.2f} px is implausible; staying in "
+                  "the uncalibrated (ray-residual) pipeline")
 
     mesh = None
     ba_backend = cfg.get("parallel", {}).get("ba_backend", "dense")

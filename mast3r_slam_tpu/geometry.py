@@ -8,6 +8,7 @@ global bundle adjustment. All functions are batch-polymorphic and jit-safe.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .lie import sim3
@@ -101,6 +102,52 @@ def backproject(p, z, K):
     ones = jnp.ones_like(x)
     ray = jnp.concatenate([x, y, ones], axis=-1)
     return z * ray
+
+
+def estimate_focal(X, img_size, pp=None, conf=None, iters: int = 10,
+                   z_eps: float = 1e-6):
+    """Robust focal-length estimate from a canonical pointmap.
+
+    No reference counterpart in the SLAM (the reference either gets K from
+    the dataset or runs the ray-residual mode; its
+    ``refine_pose_with_calibration`` at evaluate.py:42 is referenced but
+    never defined). This enables the calibrated pipeline on unknown-camera
+    video (e.g. the fork's MP4/bodycam workflow, README.md:165-177): with a
+    pinhole model, pixel offsets from the principal point satisfy
+    (u - cx, v - cy) = f * (x/z, y/z), so f is a 1-D robust regression.
+    Solved by Weiszfeld IRLS on the L2 residual of the 2-vector (the
+    geometric-median analog; equivalent to minimizing sum_i w_i
+    |q_i - f r_i| with w_i re-estimated as inverse residual norms).
+
+    Args:
+      X: (n, 3) pointmap in the camera frame (row-major pixel order).
+      img_size: (h, w) of the pixel grid.
+      pp: (2,) principal point; defaults to the image center.
+      conf: optional (n,) nonnegative weights (e.g. pointmap confidence).
+    Returns: scalar focal length in pixels (fx = fy model).
+    """
+    h, w = img_size
+    if pp is None:
+        pp = jnp.asarray([w / 2.0, h / 2.0], X.dtype)
+    q = pixel_coords(img_size, X.dtype) - pp                    # (n, 2)
+    z = jnp.maximum(jnp.abs(X[:, 2:3]), z_eps) * jnp.sign(
+        jnp.where(X[:, 2:3] == 0, 1.0, X[:, 2:3]))
+    r = X[:, :2] / z                                            # (n, 2)
+    base_w = jnp.ones(X.shape[0], X.dtype) if conf is None else conf
+    rr = jnp.sum(r * r, axis=-1)
+    qr = jnp.sum(q * r, axis=-1)
+
+    def ls(wts):
+        return jnp.sum(wts * qr) / jnp.maximum(jnp.sum(wts * rr), 1e-12)
+
+    f0 = ls(base_w)
+
+    def body(_, f):
+        res = jnp.linalg.norm(q - f * r, axis=-1)
+        wts = base_w / jnp.maximum(res, 1e-6)
+        return ls(wts)
+
+    return jax.lax.fori_loop(0, iters, body, f0)
 
 
 def pixel_coords(img_size, dtype=jnp.float32):

@@ -105,3 +105,30 @@ def test_closed_form_pose_jacobians_match_composed():
     d = np.abs(np.asarray(Jc_closed) - np.asarray(Jc_composed))
     rel = d / (np.abs(np.asarray(Jc_composed)) + 1.0)
     assert rel.max() < 5e-4, rel.max()
+
+
+def test_estimate_focal_recovers_truth():
+    from mast3r_slam_tpu import geometry
+
+    h, w = 48, 64
+    f_true = 72.5
+    K = jnp.array([[f_true, 0.0, w / 2.0],
+                   [0.0, f_true, h / 2.0],
+                   [0.0, 0.0, 1.0]])
+    uv = geometry.pixel_coords((h, w))
+    key = jax.random.PRNGKey(0)
+    z = 2.0 + jax.random.uniform(key, (h * w, 1))
+    X = geometry.backproject(uv, z, K)
+
+    f = float(geometry.estimate_focal(X, (h, w)))
+    assert abs(f - f_true) < 1e-3 * f_true
+
+    # robust to noise + gross outliers, helped by confidence weights
+    noise = 0.002 * jax.random.normal(jax.random.fold_in(key, 1), X.shape)
+    Xn = X + noise
+    out_mask = jax.random.uniform(jax.random.fold_in(key, 2),
+                                  (h * w, 1)) < 0.05
+    Xn = jnp.where(out_mask, Xn * jnp.asarray([3.0, 0.2, 1.0]), Xn)
+    conf = jnp.where(out_mask[:, 0], 0.5, 2.0)
+    f_n = float(geometry.estimate_focal(Xn, (h, w), conf=conf))
+    assert abs(f_n - f_true) < 0.03 * f_true
