@@ -43,6 +43,9 @@ def main(argv=None):
     parser.add_argument("--save-state", default="",
                         help="checkpoint full SLAM runtime state (npz) here "
                              "at the end of the run")
+    parser.add_argument("--save-state-every", type=int, default=0,
+                        help="also checkpoint to --save-state every N "
+                             "processed frames (crash recovery)")
     parser.add_argument("--resume", default="",
                         help="restore SLAM runtime state from a --save-state "
                              "npz before processing frames")
@@ -186,10 +189,14 @@ def main(argv=None):
 
         with ProfilerTrace(args.profile_dir):
             stats = system.run(dataset, max_frames=args.max_frames,
-                               progress=True, start_frame=start_frame)
+                               progress=True, start_frame=start_frame,
+                               checkpoint_path=args.save_state or None,
+                               checkpoint_every=args.save_state_every)
     else:
         stats = system.run(dataset, max_frames=args.max_frames,
-                           progress=True, start_frame=start_frame)
+                           progress=True, start_frame=start_frame,
+                           checkpoint_path=args.save_state or None,
+                           checkpoint_every=args.save_state_every)
     elapsed = time.time() - t0
     n = len(dataset) if args.max_frames is None else min(args.max_frames,
                                                          len(dataset))

@@ -17,28 +17,37 @@ import numpy as np
 
 
 def save_state(path, system):
-    """Serialize a SLAMSystem's runtime state (not the model weights)."""
+    """Serialize a SLAMSystem's runtime state (not the model weights).
+
+    Only the ACTIVE rows (n_size keyframes / n_edges edges) are written —
+    at full capacity the padded pointmap buffers alone are ~1.2 GB, so
+    slicing keeps periodic checkpoints (system.run checkpoint_every)
+    proportional to actual map size. ``load_state`` pads back into the
+    target system's capacity buffers.
+    """
     kf = system.keyframes
     fg = system.factor_graph
+    n, e = kf.n_size, fg.n_edges
     arrays = {
         "kf_n_size": np.asarray(kf.n_size),
-        "kf_dataset_idx": np.asarray(kf.dataset_idx),
-        "kf_T_WC": np.asarray(kf.T_WC),
-        "kf_X": np.asarray(kf.X),
-        "kf_C": np.asarray(kf.C),
-        "kf_N": np.asarray(kf.N),
-        "kf_N_updates": np.asarray(kf.N_updates),
-        "kf_score": np.asarray(kf.score),
-        "kf_feat": np.asarray(kf.feat.astype(np.float32)
-                              if kf.feat.dtype != np.float32 else kf.feat),
-        "kf_pos": np.asarray(kf.pos),
-        "kf_uimg": np.asarray(kf.uimg[: kf.n_size]),
+        "kf_dataset_idx": np.asarray(kf.dataset_idx[:n]),
+        "kf_T_WC": np.asarray(kf.T_WC[:n]),
+        "kf_X": np.asarray(kf.X[:n]),
+        "kf_C": np.asarray(kf.C[:n]),
+        "kf_N": np.asarray(kf.N[:n]),
+        "kf_N_updates": np.asarray(kf.N_updates[:n]),
+        "kf_score": np.asarray(kf.score[:n]),
+        "kf_feat": np.asarray(kf.feat[:n].astype(np.float32)
+                              if kf.feat.dtype != np.float32
+                              else kf.feat[:n]),
+        "kf_pos": np.asarray(kf.pos[:n]),
+        "kf_uimg": np.asarray(kf.uimg[:n]),
         "fg_n_edges": np.asarray(fg.n_edges),
-        "fg_ii": np.asarray(fg.ii),
-        "fg_jj": np.asarray(fg.jj),
-        "fg_idx": np.asarray(fg.idx_ii2jj),
-        "fg_valid": np.asarray(fg.valid_match),
-        "fg_Q": np.asarray(fg.Q),
+        "fg_ii": np.asarray(fg.ii[:e]),
+        "fg_jj": np.asarray(fg.jj[:e]),
+        "fg_idx": np.asarray(fg.idx_ii2jj[:e]),
+        "fg_valid": np.asarray(fg.valid_match[:e]),
+        "fg_Q": np.asarray(fg.Q[:e]),
         "mode": np.asarray(system.mode.value),
         "backend_queue": np.asarray(system.backend_queue, dtype=np.int64),
         "last_frame_id": np.asarray(
@@ -69,25 +78,38 @@ def load_state(path, system):
     data = np.load(path, allow_pickle=False)
     kf = system.keyframes
     fg = system.factor_graph
+
+    def into(buf, name, dtype=None):
+        """Write the saved (active-rows) array into the leading rows of the
+        capacity buffer (also accepts full-capacity arrays from older
+        checkpoints)."""
+        arr = jnp.asarray(data[name])
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        m = arr.shape[0]
+        assert m <= buf.shape[0], (
+            f"checkpoint {name} has {m} rows; capacity is {buf.shape[0]}")
+        return buf.at[:m].set(arr)
+
     kf.n_size = int(data["kf_n_size"])
-    kf.dataset_idx = jnp.asarray(data["kf_dataset_idx"])
-    kf.T_WC = jnp.asarray(data["kf_T_WC"])
-    kf.X = jnp.asarray(data["kf_X"])
-    kf.C = jnp.asarray(data["kf_C"])
-    kf.N = jnp.asarray(data["kf_N"])
+    kf.dataset_idx = into(kf.dataset_idx, "kf_dataset_idx")
+    kf.T_WC = into(kf.T_WC, "kf_T_WC")
+    kf.X = into(kf.X, "kf_X")
+    kf.C = into(kf.C, "kf_C")
+    kf.N = into(kf.N, "kf_N")
     if "kf_N_updates" in data:
-        kf.N_updates = jnp.asarray(data["kf_N_updates"])
+        kf.N_updates = into(kf.N_updates, "kf_N_updates")
     if "kf_score" in data:
-        kf.score = jnp.asarray(data["kf_score"])
-    kf.feat = jnp.asarray(data["kf_feat"]).astype(kf.feat.dtype)
-    kf.pos = jnp.asarray(data["kf_pos"])
-    kf.uimg[: kf.n_size] = data["kf_uimg"]
+        kf.score = into(kf.score, "kf_score")
+    kf.feat = into(kf.feat, "kf_feat", dtype=kf.feat.dtype)
+    kf.pos = into(kf.pos, "kf_pos")
+    kf.uimg[: kf.n_size] = data["kf_uimg"][: kf.n_size]
     fg.n_edges = int(data["fg_n_edges"])
-    fg.ii = jnp.asarray(data["fg_ii"])
-    fg.jj = jnp.asarray(data["fg_jj"])
-    fg.idx_ii2jj = jnp.asarray(data["fg_idx"])
-    fg.valid_match = jnp.asarray(data["fg_valid"])
-    fg.Q = jnp.asarray(data["fg_Q"])
+    fg.ii = into(fg.ii, "fg_ii")
+    fg.jj = into(fg.jj, "fg_jj")
+    fg.idx_ii2jj = into(fg.idx_ii2jj, "fg_idx")
+    fg.valid_match = into(fg.valid_match, "fg_valid")
+    fg.Q = into(fg.Q, "fg_Q")
     mode = Mode(int(data["mode"]))
     if mode == Mode.TERMINATED:
         # an end-of-run checkpoint: resuming means processing MORE frames,

@@ -926,14 +926,18 @@ class SLAMSystem:
 
     # -- main loop -----------------------------------------------------------
 
-    def run(self, dataset, max_frames=None, progress=False, start_frame=0):
+    def run(self, dataset, max_frames=None, progress=False, start_frame=0,
+            checkpoint_path=None, checkpoint_every=0):
         """End-to-end loop over a dataset.
 
         ``single_thread: True`` (eval default) drains the backend after every
         frame for deterministic results (spec: main.py:291-308 spin-waits);
         otherwise the backend runs in a host thread concurrently with
         frontend tracking (the reference's process parallelism, main.py:228).
-        ``start_frame`` skips already-processed frames (checkpoint resume).
+        ``start_frame`` skips already-processed frames (checkpoint resume);
+        ``checkpoint_every`` saves the runtime state to ``checkpoint_path``
+        every N processed frames (fault tolerance — the reference has no
+        recovery path, SURVEY.md §5.4).
         """
         from ..io.image import resize_img
 
@@ -991,6 +995,12 @@ class SLAMSystem:
                 i += 1
             if progress and i > 0 and i // 30 > i_prev // 30:
                 print(f"FPS: {i / (time.time() - t0):.2f}")
+            if (checkpoint_every and checkpoint_path
+                    and i // checkpoint_every > i_prev // checkpoint_every):
+                from . import checkpoint as checkpoint_mod
+
+                with self.state_lock:
+                    checkpoint_mod.save_state(checkpoint_path, self)
         # drain
         while self.backend_queue or self.reloc_pending:
             if self.single_thread:
