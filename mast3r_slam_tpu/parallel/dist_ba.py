@@ -107,18 +107,52 @@ def gauss_newton_rays_dist_pre(T_WCs, pre, ii, jj, valid_match, Q, edge_mask,
     return run(T_WCs, pre, ii, jj, valid_match, Q, edge_mask)
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh", "axis"))
 def gauss_newton_rays_dist(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
                            edge_mask, n_kf, mesh: Mesh, cfg: ba.BAConfig,
                            axis: str = "edge"):
-    """Edge-sharded ray/dist global GN. Same contract as
-    slam.ba.gauss_newton_rays; edge arrays must have their leading dim
-    divisible by the mesh size (pad with masked edges)."""
+    """Ray/dist variant of ``gauss_newton_dist``."""
+    return gauss_newton_dist(T_WCs, Xs, Cs, None, ii, jj, idx_ii2jj,
+                             valid_match, Q, edge_mask, n_kf, mesh=mesh,
+                             cfg=cfg, axis=axis, residual="rays")
+
+
+def gauss_newton_calib_dist(T_WCs, Xs, Cs, K_mat, ii, jj, idx_ii2jj,
+                            valid_match, Q, edge_mask, n_kf, img_size,
+                            mesh: Mesh, cfg: ba.BAConfig,
+                            axis: str = "edge"):
+    """Pixel+log-depth variant of ``gauss_newton_dist`` (Xs must already be
+    ray-constrained, as for slam.ba.gauss_newton_calib)."""
+    return gauss_newton_dist(T_WCs, Xs, Cs, K_mat, ii, jj, idx_ii2jj,
+                             valid_match, Q, edge_mask, n_kf, mesh=mesh,
+                             cfg=cfg, axis=axis, residual="calib",
+                             img_size=img_size)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "axis", "residual",
+                                   "img_size"))
+def gauss_newton_dist(T_WCs, Xs, Cs, K_mat, ii, jj, idx_ii2jj, valid_match,
+                      Q, edge_mask, n_kf, mesh: Mesh, cfg: ba.BAConfig,
+                      axis: str = "edge", residual: str = "rays",
+                      img_size=None):
+    """Edge-sharded global GN. Same contract as the slam.ba solvers; edge
+    arrays must have their leading dim divisible by the mesh size (pad
+    with masked edges). ``residual``: "rays", "calib" (needs K_mat +
+    img_size) or "points"."""
     K_cap = T_WCs.shape[0]
 
+    if residual == "rays":
+        terms = lambda *a, pre: ba._edge_terms_rays(*a, cfg, pre=pre)
+    elif residual == "calib":
+        terms = lambda T, Xs_, Cs_, *a, pre: ba._edge_terms_calib(
+            T, Xs_, Cs_, K_mat, *a, img_size, cfg, pre=pre)
+    elif residual == "points":
+        terms = lambda *a, pre: ba._edge_terms_points(*a, cfg, pre=pre)
+    else:
+        raise ValueError(f"unknown residual {residual!r}")
+
     def local_iteration(T, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l, pre):
-        H, g = ba._edge_terms_rays(T, Xs, Cs, ii_l, jj_l, idx_l, vm_l, Q_l,
-                                   mask_l, cfg, pre=pre)
+        H, g = terms(T, Xs, Cs, ii_l, jj_l, idx_l, vm_l, Q_l,
+                     mask_l, pre=pre)
         Hd, gd = ba._assemble(H, g, ii_l, jj_l, n_kf, K_cap, cfg.pin)
         Hd = jax.lax.psum(Hd, axis)
         gd = jax.lax.psum(gd, axis)

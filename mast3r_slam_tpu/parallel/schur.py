@@ -143,19 +143,60 @@ def _equilibrate(Hd, gd, free_rows):
     return Hs, gd, d_inv
 
 
-@partial(jax.jit,
-         static_argnames=("I_cap", "S_cap", "cfg", "mesh", "axis"))
 def gauss_newton_rays_schur(T_WCs, Xs, Cs, owner, int_slot, sep_slot,
                             ii, jj, idx_ii2jj, valid_match, Q, edge_mask,
                             n_kf, I_cap: int, S_cap: int, mesh: Mesh,
                             cfg: ba.BAConfig, axis: str = "edge"):
-    """Ray/dist global GN with per-block Schur elimination.
+    """Ray/dist variant of ``gauss_newton_schur``."""
+    return gauss_newton_schur(
+        T_WCs, Xs, Cs, None, owner, int_slot, sep_slot, ii, jj, idx_ii2jj,
+        valid_match, Q, edge_mask, n_kf, I_cap=I_cap, S_cap=S_cap, mesh=mesh,
+        cfg=cfg, axis=axis, residual="rays")
 
-    Same contract as slam.ba.gauss_newton_rays over edge arrays reordered
-    by ``schur_partition`` (device p's chunk = its block's edges). Xs/Cs
+
+def gauss_newton_calib_schur(T_WCs, Xs, Cs, K_mat, owner, int_slot, sep_slot,
+                             ii, jj, idx_ii2jj, valid_match, Q, edge_mask,
+                             n_kf, I_cap: int, S_cap: int, img_size,
+                             mesh: Mesh, cfg: ba.BAConfig,
+                             axis: str = "edge"):
+    """Pixel+log-depth variant of ``gauss_newton_schur`` (Xs must already
+    be ray-constrained, as for slam.ba.gauss_newton_calib)."""
+    return gauss_newton_schur(
+        T_WCs, Xs, Cs, K_mat, owner, int_slot, sep_slot, ii, jj, idx_ii2jj,
+        valid_match, Q, edge_mask, n_kf, I_cap=I_cap, S_cap=S_cap, mesh=mesh,
+        cfg=cfg, axis=axis, residual="calib", img_size=img_size)
+
+
+@partial(jax.jit,
+         static_argnames=("I_cap", "S_cap", "cfg", "mesh", "axis",
+                          "residual", "img_size"))
+def gauss_newton_schur(T_WCs, Xs, Cs, K_mat, owner, int_slot, sep_slot,
+                       ii, jj, idx_ii2jj, valid_match, Q, edge_mask,
+                       n_kf, I_cap: int, S_cap: int, mesh: Mesh,
+                       cfg: ba.BAConfig, axis: str = "edge",
+                       residual: str = "rays", img_size=None):
+    """Global GN with per-block Schur elimination.
+
+    Same contract as the slam.ba solvers over edge arrays reordered by
+    ``schur_partition`` (device p's chunk = its block's edges). Xs/Cs
     replicated; per-iteration communication is one psum of the
     (7*S_cap)^2 reduced system + one 7K psum of interior updates.
+    ``residual``: "rays", "calib" (needs K_mat + img_size) or "points".
     """
+    if residual == "rays":
+        terms = lambda T, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l, pre: \
+            ba._edge_terms_rays(T, None, None, ii_l, jj_l, idx_l, vm_l,
+                                Q_l, mask_l, cfg, pre=pre)
+    elif residual == "calib":
+        terms = lambda T, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l, pre: \
+            ba._edge_terms_calib(T, None, None, K_mat, ii_l, jj_l, idx_l,
+                                 vm_l, Q_l, mask_l, img_size, cfg, pre=pre)
+    elif residual == "points":
+        terms = lambda T, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l, pre: \
+            ba._edge_terms_points(T, None, None, ii_l, jj_l, idx_l, vm_l,
+                                  Q_l, mask_l, cfg, pre=pre)
+    else:
+        raise ValueError(f"unknown residual {residual!r}")
     K_cap = T_WCs.shape[0]
     D = 7
     nI, nS = D * I_cap, D * S_cap
@@ -248,8 +289,7 @@ def gauss_newton_rays_schur(T_WCs, Xs, Cs, owner, int_slot, sep_slot,
 
         def body(state):
             T, it, done = state
-            H, g = ba._edge_terms_rays(T, None, None, ii_l, jj_l, safe_idx_l,
-                                       vm_l, Q_l, mask_l, cfg, pre=pre)
+            H, g = terms(T, ii_l, jj_l, safe_idx_l, vm_l, Q_l, mask_l, pre)
             dx, free = solve(H, g)
             T_new = sim3.retr(T, dx)
             T = jnp.where(free[:, None], T_new, T)

@@ -35,8 +35,8 @@ class FactorGraphConfig(NamedTuple):
     ba_backend: str = "dense"   # "dense" (single device), "edge_sharded"
                                 # (parallel/dist_ba.py) or "schur"
                                 # (parallel/schur.py); the latter two need
-                                # a mesh passed to FactorGraph and apply to
-                                # the ray solver (calib BA stays dense)
+                                # a mesh passed to FactorGraph and cover
+                                # both the ray and calib solvers
 
 
 @partial(jax.jit, static_argnames=("cfg", "mcfg", "ds", "matcher",
@@ -286,15 +286,43 @@ class FactorGraph:
             return
         img_size = (self.frames.h, self.frames.w)
         Eb, Kb = self._buckets()
+        backend = (self.cfg.ba_backend
+                   if self.mesh is not None and self.mesh.size > 1
+                   else "dense")
         Xs = constrain_all(self.frames.X[:Kb], self.K, img_size)
-        T = ba.gauss_newton_calib(
-            self.frames.T_WC[:Kb], Xs, self.frames.average_confs()[:Kb],
-            self.K,
-            self.ii[:Eb], self.jj[:Eb], self.idx_ii2jj[:Eb],
-            self.valid_match[:Eb], self.Q[:Eb],
-            self.edge_mask[:Eb], jnp.asarray(len(self.frames)), img_size,
-            self.ba_cfg,
-        )
+        args = (self.frames.T_WC[:Kb], Xs,
+                self.frames.average_confs()[:Kb],
+                self.ii[:Eb], self.jj[:Eb], self.idx_ii2jj[:Eb],
+                self.valid_match[:Eb], self.Q[:Eb], self.edge_mask[:Eb],
+                jnp.asarray(len(self.frames)))
+        if backend == "schur":
+            from ..parallel import schur
+
+            part, order, keep = schur.schur_partition(
+                np.asarray(self.ii[:Eb]), np.asarray(self.jj[:Eb]),
+                np.asarray(self.edge_mask[:Eb]), K_cap=Kb,
+                n_shards=self.mesh.size)
+            ii_r, jj_r, idx_r, vm_r, Q_r, mask_r = schur.reorder_edges(
+                order, keep, *args[3:9])
+            T = schur.gauss_newton_calib_schur(
+                args[0], args[1], args[2], self.K, jnp.asarray(part.owner),
+                jnp.asarray(part.int_slot), jnp.asarray(part.sep_slot),
+                ii_r, jj_r, idx_r, vm_r, Q_r, mask_r, args[9],
+                part.I_cap, part.S_cap, img_size, self.mesh, self.ba_cfg)
+        elif backend == "edge_sharded":
+            from ..parallel import dist_ba, mesh as mesh_mod
+
+            nd = self.mesh.size
+            pad = lambda a, fill=0: mesh_mod.pad_to_multiple(a, nd, 0, fill)
+            T = dist_ba.gauss_newton_calib_dist(
+                args[0], args[1], args[2], self.K, pad(args[3]),
+                pad(args[4]), pad(args[5]), pad(args[6], False),
+                pad(args[7]), pad(args[8]), args[9], img_size, self.mesh,
+                self.ba_cfg)
+        else:
+            T = ba.gauss_newton_calib(
+                args[0], args[1], args[2], self.K, *args[3:], img_size,
+                self.ba_cfg)
         self._adopt_poses(T, Kb)
 
 

@@ -165,3 +165,63 @@ def test_factor_graph_backend_dispatch_matches_dense():
     np.testing.assert_allclose(results["schur"], results["dense"], atol=1e-3)
     np.testing.assert_allclose(results["edge_sharded"], results["dense"],
                                atol=1e-3)
+
+
+def test_distributed_calib_solvers_match_dense():
+    """Calib (pixel+log-depth) residual through both distributed solvers
+    equals the dense solver."""
+    from mast3r_slam_tpu import geometry
+    from mast3r_slam_tpu.parallel import dist_ba
+
+    assert jax.device_count() >= 8
+    key = jax.random.PRNGKey(4)
+    n_kf, hh, ww = 9, 12, 16
+    P = hh * ww
+    K_mat = jnp.array([[20.0, 0.0, ww / 2.0],
+                       [0.0, 20.0, hh / 2.0],
+                       [0.0, 0.0, 1.0]])
+    # keyframe pointmaps on calibrated rays (gauss_newton_calib contract)
+    uv = geometry.pixel_coords((hh, ww))
+    kz = jax.random.PRNGKey(5)
+    T_true = [sim3.identity()]
+    for i in range(1, n_kf):
+        xi = 0.03 * jax.random.normal(jax.random.fold_in(kz, i), (7,))
+        T_true.append(sim3.mul(T_true[-1], sim3.exp(xi)))
+    T_true = jnp.stack(T_true)
+    z = 2.0 + 0.3 * jax.random.uniform(jax.random.fold_in(kz, 99),
+                                       (n_kf, P, 1))
+    Xs = jax.vmap(lambda zk: geometry.backproject(uv, zk, K_mat))(z)
+    Cs = jnp.full((n_kf, P), 5.0)
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=[(0, n_kf - 1)])
+
+    noise = 0.01 * jax.random.normal(jax.random.fold_in(key, 5), (n_kf, 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+    cfg = ba.BAConfig(max_iters=8, point_chunk=P)
+    img_size = (hh, ww)
+
+    T_dense = ba.gauss_newton_calib(T_init, Xs, Cs, K_mat, ii, jj, idx,
+                                    valid, Q, mask, jnp.asarray(n_kf),
+                                    img_size, cfg)
+
+    m = mesh_mod.make_mesh(8)
+    pad = lambda a, fill=0: mesh_mod.pad_to_multiple(a, 8, 0, fill)
+    T_es = dist_ba.gauss_newton_calib_dist(
+        T_init, Xs, Cs, K_mat, pad(ii), pad(jj), pad(idx),
+        pad(valid, False), pad(Q), pad(mask), jnp.asarray(n_kf), img_size,
+        m, cfg)
+    np.testing.assert_allclose(np.asarray(T_es), np.asarray(T_dense),
+                               atol=1e-3)
+
+    part, order, keep = schur.schur_partition(ii, jj, mask, K_cap=n_kf,
+                                              n_shards=8)
+    ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.reorder_edges(
+        order, keep, ii, jj, idx, valid, Q, mask)
+    T_sc = schur.gauss_newton_calib_schur(
+        T_init, Xs, Cs, K_mat, jnp.asarray(part.owner),
+        jnp.asarray(part.int_slot), jnp.asarray(part.sep_slot),
+        jnp.asarray(ii_r), jnp.asarray(jj_r), jnp.asarray(idx_r),
+        jnp.asarray(valid_r), jnp.asarray(Q_r), jnp.asarray(mask_r),
+        jnp.asarray(n_kf), part.I_cap, part.S_cap, img_size, m, cfg)
+    np.testing.assert_allclose(np.asarray(T_sc), np.asarray(T_dense),
+                               atol=1e-3)
