@@ -15,6 +15,15 @@ rotation, log-scale) — matches the ordering used by the reference GN kernels.
 All functions are shape-polymorphic over leading batch dimensions and are
 safe under ``jit``/``vmap``/``grad`` (series expansions switch via
 ``jnp.where`` with Taylor fallbacks, no data-dependent control flow).
+
+Differentiation design note: lietorch ships hand-written CUDA
+forward/backward kernels; here autodiff correctness at the theta->0 /
+sigma->0 singularities is achieved with sentinel-guarded branches
+(the double-``where`` pattern) instead of ``jax.custom_jvp`` overrides —
+the derivative XLA builds is then both exact and fusable, and the hot
+solvers bypass autodiff entirely via the closed-form Jacobians in
+``geometry.py``/``slam/ba.py``. Gradient finiteness at the singular
+points is regression-tested (tests/test_sim3.py).
 """
 
 from __future__ import annotations
