@@ -103,7 +103,11 @@ def schur_partition(ii, jj, edge_mask, K_cap: int, n_shards: int,
 
     edge_owner = owner[ii]
     counts = np.bincount(edge_owner[em], minlength=n_shards)
-    E_loc = max(1, int(counts.max()))
+    # bucket the per-shard chunk to the next power of two: the solver is
+    # compiled per edge-array shape, so raw max-counts would trigger a
+    # recompile on nearly every new edge
+    E_loc = max(8, int(counts.max()))
+    E_loc = 1 << (E_loc - 1).bit_length()
     order = np.zeros(n_shards * E_loc, dtype=np.int32)   # pad -> edge 0
     keep = np.zeros(n_shards * E_loc, dtype=bool)
     for p in range(n_shards):
