@@ -33,6 +33,10 @@ def main(argv=None):
                         help="use a random-init retriever (smoke runs only)")
     parser.add_argument("--profile-dir", default="",
                         help="capture a jax.profiler trace to this directory")
+    parser.add_argument("--serve-viz", type=int, default=None, metavar="PORT",
+                        help="serve a LIVE WebGL reconstruction viewer on "
+                             "this port during the run (pause/step UI; "
+                             "0 picks a free port)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ba-backend", default="",
                         choices=["", "dense", "edge_sharded", "schur"],
@@ -183,21 +187,28 @@ def main(argv=None):
               f"{system.factor_graph.n_edges} edges, "
               f"next frame {start_frame})")
 
+    viewer = None
+    if args.serve_viz is not None:
+        from mast3r_slam_tpu.viz_server import LiveViewer
+
+        viewer = LiveViewer(port=args.serve_viz).start()
+        print(f"live viewer: http://localhost:{viewer.port}/")
+
+    run_kwargs = dict(max_frames=args.max_frames, progress=True,
+                      start_frame=start_frame,
+                      checkpoint_path=args.save_state or None,
+                      checkpoint_every=args.save_state_every, viewer=viewer)
     t0 = time.time()
     if args.profile_dir:
         from mast3r_slam_tpu.utils.timing import ProfilerTrace
 
         with ProfilerTrace(args.profile_dir):
-            stats = system.run(dataset, max_frames=args.max_frames,
-                               progress=True, start_frame=start_frame,
-                               checkpoint_path=args.save_state or None,
-                               checkpoint_every=args.save_state_every)
+            stats = system.run(dataset, **run_kwargs)
     else:
-        stats = system.run(dataset, max_frames=args.max_frames,
-                           progress=True, start_frame=start_frame,
-                           checkpoint_path=args.save_state or None,
-                           checkpoint_every=args.save_state_every)
+        stats = system.run(dataset, **run_kwargs)
     elapsed = time.time() - t0
+    if viewer is not None:
+        viewer.stop()
     n = len(dataset) if args.max_frames is None else min(args.max_frames,
                                                          len(dataset))
     print(f"done: {n} frames in {elapsed:.1f}s = {n / elapsed:.2f} FPS")

@@ -927,7 +927,7 @@ class SLAMSystem:
     # -- main loop -----------------------------------------------------------
 
     def run(self, dataset, max_frames=None, progress=False, start_frame=0,
-            checkpoint_path=None, checkpoint_every=0):
+            checkpoint_path=None, checkpoint_every=0, viewer=None):
         """End-to-end loop over a dataset.
 
         ``single_thread: True`` (eval default) drains the backend after every
@@ -937,7 +937,10 @@ class SLAMSystem:
         ``start_frame`` skips already-processed frames (checkpoint resume);
         ``checkpoint_every`` saves the runtime state to ``checkpoint_path``
         every N processed frames (fault tolerance — the reference has no
-        recovery path, SURVEY.md §5.4).
+        recovery path, SURVEY.md §5.4). ``viewer`` is an optional
+        viz_server.LiveViewer: its pause/step gate runs before each
+        frame/window and its scene snapshot is refreshed (throttled) after —
+        the reference's viz process + WindowMsg queue (main.py:170-171).
         """
         from ..io.image import resize_img
 
@@ -965,6 +968,8 @@ class SLAMSystem:
         W = self.window
         while i < n:
             i_prev = i
+            if viewer is not None:
+                viewer.wait_if_paused()
             if (W > 1 and self.single_thread and self.mode == Mode.TRACKING
                     and i + W <= n
                     and len(self.keyframes) + W < self.keyframes.capacity):
@@ -993,6 +998,13 @@ class SLAMSystem:
                     with self.state_lock:
                         self.process_frame(frame)
                 i += 1
+            if viewer is not None:
+                self.last_frame_idx = i
+                if self.single_thread:
+                    viewer.update(self)
+                else:
+                    with self.state_lock:
+                        viewer.update(self)
             if progress and i > 0 and i // 30 > i_prev // 30:
                 print(f"FPS: {i / (time.time() - t0):.2f}")
             if (checkpoint_every and checkpoint_path
@@ -1011,4 +1023,6 @@ class SLAMSystem:
         self.mode = Mode.TERMINATED
         if backend_thread is not None:
             backend_thread.join(timeout=10.0)
+        if viewer is not None:
+            viewer.update(self, force=True)
         return self.stats

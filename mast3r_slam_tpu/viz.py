@@ -121,42 +121,47 @@ def keyframe_mosaic(keyframes, out_path, max_tiles=16):
     return out_path
 
 
-def export_html_viewer(keyframes, out_path, c_conf_threshold=1.5,
-                       max_points=600_000, factor_graph=None):
-    """Interactive WebGL point-cloud viewer in ONE self-contained HTML file.
+def build_scene(keyframes, c_conf_threshold=1.5, max_points=600_000,
+                factor_graph=None):
+    """Assemble the world-space render scene from the keyframe store.
 
-    TPU-native stand-in for the reference's live moderngl window
-    (/root/reference/mast3r_slam/visualization.py:98-380): the fused,
-    confidence-thresholded world point cloud, keyframe frustums and
-    factor-graph edges, with orbit/pan/zoom and a point-size slider —
-    viewable in any browser with no server and no external JS deps.
+    Returns a dict with ``pts`` (N,3) f32 world points, ``cols`` (N,3) u8,
+    ``lpts`` (M,3) f32 line-segment endpoints (frustums green, trajectory
+    red, factor-graph edges yellow — the reference viewer's content,
+    /root/reference/mast3r_slam/visualization.py:133-188), ``lcols`` (M,3)
+    u8, ``center`` (3,) f32 and ``scale`` float. Shared by the static HTML
+    export and the live server (viz_server.py).
     """
     from .lie import sim3
 
     n = len(keyframes)
     pts_all, col_all = [], []
     avg_C = np.asarray(keyframes.average_confs()[:n])
+    per_kf = max(1, max_points // max(n, 1))
     for i in range(n):
         pW = np.asarray(sim3.act(keyframes.T_WC[i], keyframes.X[i]))
         col = np.asarray(keyframes.uimg[i]).reshape(-1, 3)
         valid = avg_C[i].reshape(-1) > c_conf_threshold
-        pts_all.append(pW[valid])
-        col_all.append(col[valid])
-    pts = np.concatenate(pts_all, 0) if pts_all else np.zeros((0, 3))
+        p, c = pW[valid], col[valid]
+        if len(p) > per_kf:   # even stride keeps spatial coverage
+            step = len(p) // per_kf
+            p, c = p[::step][:per_kf], c[::step][:per_kf]
+        pts_all.append(p)
+        col_all.append(c)
+    pts = (np.concatenate(pts_all, 0) if pts_all
+           else np.zeros((0, 3))).astype(np.float32)
     cols = np.concatenate(col_all, 0) if col_all else np.zeros((0, 3))
-    if len(pts) > max_points:
-        sel = np.random.default_rng(0).choice(len(pts), max_points,
-                                              replace=False)
-        pts, cols = pts[sel], cols[sel]
+    cols = (np.clip(cols, 0, 1) * 255).astype(np.uint8)
 
     T = np.asarray(keyframes.T_WC[:n])
-    # frustum wireframes (5 lines each) in world coords
+    # frustum wireframes (8 segments each) in world coords
     lines = []
     fr = np.array([[0, 0, 0], [-.5, -.375, 1], [.5, -.375, 1],
                    [.5, .375, 1], [-.5, .375, 1]]) * 0.15
     import jax.numpy as jnp
+    fr_j = jnp.asarray(fr)
     for i in range(n):
-        c = np.asarray(sim3.act(keyframes.T_WC[i], jnp.asarray(fr)))
+        c = np.asarray(sim3.act(keyframes.T_WC[i], fr_j))
         for a, b in [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3),
                      (3, 4), (4, 1)]:
             lines.append((c[a], c[b], (0.2, 0.9, 0.2)))
@@ -168,30 +173,47 @@ def export_html_viewer(keyframes, out_path, c_conf_threshold=1.5,
         for a, b in zip(ii, jj):
             lines.append((T[a, :3], T[b, :3], (0.9, 0.9, 0.1)))
 
+    lp = np.array([np.concatenate([a, b]) for a, b, _ in lines],
+                  np.float32).reshape(-1, 3) if lines else np.zeros(
+                      (0, 3), np.float32)
+    lc = (np.array([[c, c] for _, _, c in lines], np.float32).reshape(-1, 3)
+          if lines else np.zeros((0, 3), np.float32))
+    center = (pts.mean(0) if len(pts) else np.zeros(3)).astype(np.float32)
+    scale = float(np.percentile(np.linalg.norm(pts - center, axis=1), 90)
+                  ) if len(pts) else 1.0
+    return {"pts": pts, "cols": cols, "lpts": lp,
+            "lcols": (lc * 255).astype(np.uint8), "center": center,
+            "scale": max(scale, 1e-3)}
+
+
+def export_html_viewer(keyframes, out_path, c_conf_threshold=1.5,
+                       max_points=600_000, factor_graph=None):
+    """Interactive WebGL point-cloud viewer in ONE self-contained HTML file.
+
+    TPU-native stand-in for the reference's live moderngl window
+    (/root/reference/mast3r_slam/visualization.py:98-380): the fused,
+    confidence-thresholded world point cloud, keyframe frustums and
+    factor-graph edges, with orbit/pan/zoom and a point-size slider —
+    viewable in any browser with no server and no external JS deps.
+    For a live view during a run, see viz_server.LiveViewer.
+    """
+    sc = build_scene(keyframes, c_conf_threshold, max_points, factor_graph)
+
     import base64
 
     def b64(a):
         return base64.b64encode(np.ascontiguousarray(a).tobytes()).decode()
 
-    lp = np.array([np.concatenate([a, b]) for a, b, _ in lines],
-                  np.float32).reshape(-1, 3) if lines else np.zeros((0, 3),
-                                                                    np.float32)
-    lc = np.array([[c, c] for _, _, c in lines],
-                  np.float32).reshape(-1, 3) if lines else np.zeros((0, 3),
-                                                                    np.float32)
-    center = pts.mean(0) if len(pts) else np.zeros(3)
-    scale = float(np.percentile(np.linalg.norm(pts - center, axis=1), 90)
-                  ) if len(pts) else 1.0
-
-    html = _VIEWER_HTML.replace("__NPTS__", str(len(pts)))
-    html = html.replace("__NLINES__", str(len(lp)))
-    html = html.replace("__PTS__", b64(pts.astype(np.float32)))
-    html = html.replace("__COLS__", b64((np.clip(cols, 0, 1) * 255)
-                                        .astype(np.uint8)))
-    html = html.replace("__LPTS__", b64(lp))
-    html = html.replace("__LCOLS__", b64((lc * 255).astype(np.uint8)))
-    html = html.replace("__CENTER__", f"[{center[0]},{center[1]},{center[2]}]")
-    html = html.replace("__SCALE__", f"{max(scale, 1e-3)}")
+    c = sc["center"]
+    init = _STATIC_INIT_JS.replace("__NPTS__", str(len(sc["pts"])))
+    init = init.replace("__PTS__", b64(sc["pts"]))
+    init = init.replace("__COLS__", b64(sc["cols"]))
+    init = init.replace("__LPTS__", b64(sc["lpts"]))
+    init = init.replace("__LCOLS__", b64(sc["lcols"]))
+    init = init.replace("__CENTER__", f"[{c[0]},{c[1]},{c[2]}]")
+    init = init.replace("__SCALE__", f"{sc['scale']}")
+    html = _VIEWER_HTML.replace("__EXTRA_HUD__", "")
+    html = html.replace("__INIT_JS__", init)
 
     out_path = pathlib.Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -199,24 +221,30 @@ def export_html_viewer(keyframes, out_path, c_conf_threshold=1.5,
     return out_path
 
 
+def live_html():
+    """Viewer page for the live server: same WebGL renderer, scene fetched
+    from ``/scene`` on a poll loop, pause/step buttons posting to ``/ctrl``
+    (the reference viewer's pause/next UI, visualization.py:324-332)."""
+    html = _VIEWER_HTML.replace(
+        "__EXTRA_HUD__",
+        '&nbsp; <button id="pauseb">pause</button>'
+        '<button id="stepb">step</button>')
+    return html.replace("__INIT_JS__", _LIVE_INIT_JS)
+
+
 _VIEWER_HTML = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>mast3r_slam_tpu reconstruction</title>
 <style>body{margin:0;background:#000;color:#ccc;font:12px monospace;overflow:hidden}
 #hud{position:fixed;top:8px;left:8px;z-index:2;background:#000a;padding:6px}
 canvas{display:block}</style></head><body>
-<div id="hud">points: __NPTS__ &nbsp; drag=orbit, shift-drag=pan, wheel=zoom
-&nbsp; size <input id="psz" type="range" min="1" max="6" value="2" step="0.5"></div>
+<div id="hud"><span id="stat"></span> &nbsp; drag=orbit, shift-drag=pan, wheel=zoom
+&nbsp; size <input id="psz" type="range" min="1" max="6" value="2" step="0.5">__EXTRA_HUD__</div>
 <canvas id="c"></canvas>
 <script>
 "use strict";
 function dec(b64){const s=atob(b64);const a=new Uint8Array(s.length);
 for(let i=0;i<s.length;i++)a[i]=s.charCodeAt(i);return a;}
-const NP=__NPTS__, NL=__NLINES__;
-const pts=new Float32Array(dec("__PTS__").buffer);
-const cols=dec("__COLS__");
-const lpts=new Float32Array(dec("__LPTS__").buffer);
-const lcols=dec("__LCOLS__");
-const center=__CENTER__, scale=__SCALE__;
+let NP=0, NL=0, center=[0,0,0], scale=1;
 const cv=document.getElementById("c");
 const gl=cv.getContext("webgl");
 const vs=`attribute vec3 p;attribute vec3 col;uniform mat4 mvp;
@@ -232,10 +260,15 @@ gl.attachShader(pr,sh(gl.FRAGMENT_SHADER,fs));
 gl.linkProgram(pr);gl.useProgram(pr);
 const aP=gl.getAttribLocation(pr,"p"),aC=gl.getAttribLocation(pr,"col");
 const uM=gl.getUniformLocation(pr,"mvp"),uS=gl.getUniformLocation(pr,"psz");
-function buf(data){const b=gl.createBuffer();
-gl.bindBuffer(gl.ARRAY_BUFFER,b);gl.bufferData(gl.ARRAY_BUFFER,data,gl.STATIC_DRAW);return b;}
-const bP=buf(pts),bC=buf(cols),bLP=buf(lpts),bLC=buf(lcols);
-let az=0.5,el=0.4,dist=scale*3,tgt=center.slice();
+const bP=gl.createBuffer(),bC=gl.createBuffer(),
+      bLP=gl.createBuffer(),bLC=gl.createBuffer();
+let az=0.5,el=0.4,dist=3,tgt=[0,0,0];
+function up(b,data){gl.bindBuffer(gl.ARRAY_BUFFER,b);
+gl.bufferData(gl.ARRAY_BUFFER,data,gl.DYNAMIC_DRAW);}
+function setScene(pts,cols,lpts,lcols,c,s,recenter){
+NP=pts.length/3;NL=lpts.length/3;
+up(bP,pts);up(bC,cols);up(bLP,lpts);up(bLC,lcols);
+if(recenter){center=c;scale=s;dist=scale*3;tgt=center.slice();}}
 function mat(){const w=cv.width,h=cv.height,f=1.5;const a=w/h;
 const ca=Math.cos(az),sa=Math.sin(az),ce=Math.cos(el),se=Math.sin(el);
 const eye=[tgt[0]+dist*ce*sa,tgt[1]+dist*se,tgt[2]+dist*ce*ca];
@@ -276,6 +309,43 @@ lx=e.clientX;ly=e.clientY;
 if(pan){const s=dist*0.002;tgt[0]-=dx*s*Math.cos(az);tgt[2]+=dx*s*Math.sin(az);
 tgt[1]+=dy*s;}else{az-=dx*0.005;el=Math.max(-1.5,Math.min(1.5,el+dy*0.005));}};
 onwheel=e=>{dist*=Math.exp(e.deltaY*0.001);};
+__INIT_JS__
 draw();
 </script></body></html>
+"""
+
+_STATIC_INIT_JS = """
+setScene(new Float32Array(dec("__PTS__").buffer),dec("__COLS__"),
+new Float32Array(dec("__LPTS__").buffer),dec("__LCOLS__"),
+__CENTER__,__SCALE__,true);
+document.getElementById("stat").textContent="points: __NPTS__";
+"""
+
+# live mode: poll /scene (binary layout packed by viz_server.pack_scene),
+# re-upload buffers, recenter only on the first scene; pause/step -> /ctrl
+_LIVE_INIT_JS = """
+let first=true;
+async function poll(){
+try{
+const r=await fetch("/scene",{cache:"no-store"});
+const b=await r.arrayBuffer();
+const h=new Uint32Array(b,0,8);
+const hf=new Float32Array(b,32,4);
+const npts=h[2],nlines=h[3],nkf=h[4],frame=h[5],paused=h[6];
+let off=48;
+const pts=new Float32Array(b,off,npts*3);off+=npts*12;
+const cols=new Uint8Array(b,off,npts*3);off+=npts*3;
+off=(off+3)&~3;
+const lpts=new Float32Array(b,off,nlines*3);off+=nlines*12;
+const lcols=new Uint8Array(b,off,nlines*3);
+setScene(pts,cols,lpts,lcols,[hf[0],hf[1],hf[2]],hf[3],first);
+first=false;
+document.getElementById("stat").textContent=
+"kf "+nkf+" frame "+frame+" pts "+npts;
+document.getElementById("pauseb").textContent=paused?"resume":"pause";
+}catch(e){}
+setTimeout(poll,1500);}
+poll();
+document.getElementById("pauseb").onclick=()=>fetch("/ctrl?toggle=1");
+document.getElementById("stepb").onclick=()=>fetch("/ctrl?step=1");
 """
