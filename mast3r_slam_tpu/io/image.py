@@ -35,9 +35,13 @@ def resize_img(img: np.ndarray, size: int = 512, return_transformation=False):
         halfh = 3 * halfw // 4
     pil = pil.crop((cx - halfw, cy - halfh, cx + halfw, cy + halfh))
 
-    arr = np.asarray(pil).astype(np.float32) / 255.0
+    u8 = np.asarray(pil)
+    arr = u8.astype(np.float32) / 255.0
     res = {
         "img": (arr - 0.5) / 0.5,
+        # raw pixels for cheap host->device transfer; models.mast3r.encode
+        # normalizes uint8 inputs on device with the identical expression
+        "img_u8": u8,
         "unnormalized": arr,
         "true_shape": (arr.shape[0], arr.shape[1]),
     }

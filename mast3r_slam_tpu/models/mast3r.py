@@ -226,7 +226,16 @@ def init_params(key, cfg: MASt3RConfig):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def encode(params, img, cfg: MASt3RConfig):
-    """Encode images (b, h, w, 3) -> (feat (b, n, ed), pos (b, n, 2))."""
+    """Encode images (b, h, w, 3) -> (feat (b, n, ed), pos (b, n, 2)).
+
+    Accepts either ImgNorm-normalized float32 or raw uint8 pixels; uint8 is
+    normalized ON DEVICE with the same ((x/255) - 0.5)/0.5 expression as the
+    host path (io/image.resize_img; spec dust3r/utils/image.py:23) — frames
+    can then cross the host->device boundary at 1 byte/channel instead of 4
+    (4x less PCIe/interconnect traffic on the ingest path).
+    """
+    if img.dtype == jnp.uint8:
+        img = (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
     feat, pos, _ = vit.encode(params, img, cfg, cfg.compute_dtype)
     return feat, pos
 

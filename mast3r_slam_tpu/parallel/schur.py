@@ -120,6 +120,24 @@ def schur_partition(ii, jj, edge_mask, K_cap: int, n_shards: int,
     return part, order, keep
 
 
+def separator_dominated(part: SchurPartition, n_active: int,
+                        frac: float = 0.5) -> bool:
+    """True when >= ``frac`` of the active keyframes are separators.
+
+    In that regime the Schur reduction eliminates almost nothing: the
+    separator system is ~the full system, but the per-shard interior
+    elimination overhead is still paid (e.g. a short chain spread over
+    many shards, where every block boundary makes both endpoints
+    separators). Callers should fall back to the edge-sharded dense
+    solver (dist_ba), which psums the full 7K system directly.
+    """
+    n_active = int(n_active)
+    if n_active <= 0:
+        return False
+    n_sep = int((np.asarray(part.sep_slot[:n_active]) >= 0).sum())
+    return n_sep >= frac * n_active
+
+
 def reorder_edges(order, keep, ii, jj, idx, valid_match, Q, edge_mask):
     """Apply a schur_partition edge permutation to the edge payloads
     on-device (the (E, P) match arrays are too large to round-trip to

@@ -261,6 +261,9 @@ class FactorGraph:
                 np.asarray(self.ii[:Eb]), np.asarray(self.jj[:Eb]),
                 np.asarray(self.edge_mask[:Eb]), K_cap=Kb,
                 n_shards=self.mesh.size)
+            if schur.separator_dominated(part, len(self.frames)):
+                backend = "edge_sharded"
+        if backend == "schur":
             ii_r, jj_r, idx_r, vm_r, Q_r, mask_r = schur.reorder_edges(
                 order, keep, *args[3:9])
             T = schur.gauss_newton_rays_schur(
@@ -302,6 +305,9 @@ class FactorGraph:
                 np.asarray(self.ii[:Eb]), np.asarray(self.jj[:Eb]),
                 np.asarray(self.edge_mask[:Eb]), K_cap=Kb,
                 n_shards=self.mesh.size)
+            if schur.separator_dominated(part, len(self.frames)):
+                backend = "edge_sharded"
+        if backend == "schur":
             ii_r, jj_r, idx_r, vm_r, Q_r, mask_r = schur.reorder_edges(
                 order, keep, *args[3:9])
             T = schur.gauss_newton_calib_schur(

@@ -637,14 +637,18 @@ class SLAMSystem:
     # -- frame construction --------------------------------------------------
 
     def _to_uimg(self, img_np: np.ndarray) -> np.ndarray:
-        """Normalized model input -> display image at the working
-        (post-downsample) resolution; host-side (export/viz only)."""
-        u = img_np * 0.5 + 0.5
+        """Model input (normalized float32 OR raw uint8) -> display image at
+        the working (post-downsample) resolution; host-side (export/viz)."""
+        if img_np.dtype == np.uint8:
+            u = img_np.astype(np.float32) / 255.0
+        else:
+            u = img_np * 0.5 + 0.5
         ds = self.downsample
         return u[::ds, ::ds] if ds > 1 else u
 
     def make_frame(self, frame_id: int, img_np: np.ndarray) -> Frame:
-        """img_np: (h, w, 3) normalized float32 (already resized)."""
+        """img_np: (h, w, 3), already resized — normalized float32 or raw
+        uint8 (normalized on device by models.mast3r.encode)."""
         from ..lie import sim3
 
         img = jnp.asarray(img_np)
@@ -977,7 +981,10 @@ class SLAMSystem:
                 imgs_np = []
                 for t in ids:
                     _, img = dataset[t]
-                    imgs_np.append(resize_img(img, dataset.img_size)["img"])
+                    r = resize_img(img, dataset.img_size)
+                    # ship raw uint8 (4x less host->device traffic); the
+                    # window program normalizes on device (mast3r.encode)
+                    imgs_np.append(r.get("img_u8", r["img"]))
                 # dispatch the window, then drain backend work queued by
                 # PREVIOUS windows while the device runs this one (the
                 # backend's jitted steps queue behind the window through
@@ -989,7 +996,7 @@ class SLAMSystem:
             else:
                 _, img = dataset[i]
                 res = resize_img(img, dataset.img_size)
-                frame = self.make_frame(i, res["img"])
+                frame = self.make_frame(i, res.get("img_u8", res["img"]))
                 if self.single_thread:
                     self.process_frame(frame)
                     while self.backend_step():

@@ -70,3 +70,23 @@ def test_mono_inference():
     X, C = mast3r.inference_mono(params, feat, pos, cfg)
     assert X.shape == (1, h * w, 3)
     assert C.shape == (1, h * w, 1)
+
+
+def test_encode_uint8_matches_host_normalized():
+    """uint8 frames normalized ON DEVICE (mast3r.encode) reproduce the
+    host-normalized float path to float32 fusion tolerance (~1e-6 — XLA
+    fuses the ((x/255)-0.5)/0.5 expression into the patch embed, so the
+    intermediate is not rounded identically to the host's). The ingest path
+    ships 1 byte/channel (system.run windowed/per-frame)."""
+    cfg = TINY
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    h, w = cfg.img_size
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8)
+    host_norm = (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+    fa, pa = mast3r.encode(params, jnp.asarray(host_norm), cfg)
+    fb, pb = mast3r.encode(params, jnp.asarray(u8), cfg)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    np.testing.assert_allclose(np.asarray(fa, np.float32),
+                               np.asarray(fb, np.float32), atol=1e-4)

@@ -225,3 +225,26 @@ def test_distributed_calib_solvers_match_dense():
         jnp.asarray(n_kf), part.I_cap, part.S_cap, img_size, m, cfg)
     np.testing.assert_allclose(np.asarray(T_sc), np.asarray(T_dense),
                                atol=1e-3)
+
+
+def test_separator_dominated_regime():
+    """A short chain over many shards is separator-dominated (fall back to
+    the edge-sharded dense solver); a long chain over few shards is not."""
+    import numpy as np
+
+    from mast3r_slam_tpu.parallel import schur
+
+    def chain(n):
+        pairs = [(i, i + 1) for i in range(n - 1)]
+        ii = np.array([p for a, b in pairs for p in (a, b)], np.int32)
+        jj = np.array([p for a, b in pairs for p in (b, a)], np.int32)
+        return ii, jj, np.ones(len(ii), np.float32)
+
+    ii, jj, m = chain(16)
+    part, _, _ = schur.schur_partition(ii, jj, m, K_cap=16, n_shards=8)
+    assert schur.separator_dominated(part, 16)
+
+    ii, jj, m = chain(64)
+    part, _, _ = schur.schur_partition(ii, jj, m, K_cap=64, n_shards=2)
+    assert not schur.separator_dominated(part, 64)
+    assert schur.separator_dominated(part, 0) is False
