@@ -131,3 +131,61 @@ def test_subpixel_matching_no_regression():
     rmse_int = run(False)
     rmse_sub = run(True)
     assert rmse_sub <= 1.02 * rmse_int, (rmse_int, rmse_sub)
+
+
+def test_crash_resume_trajectory_equivalence(tmp_path):
+    """Kill the run mid-sequence, resume from the checkpoint in a FRESH
+    system, and recover the identical trajectory — the crash-recovery
+    guarantee behind --save-state-every/--resume (SURVEY.md §5.4; the
+    reference loses the whole run on a crash)."""
+    from mast3r_slam_tpu.slam import checkpoint
+
+    n_frames = 10
+    h, w = CFG.img_size
+    traj = _gt_trajectory(n_frames)
+    params = oracle.make_params(traj, desc_dim=CFG.desc_dim)
+
+    def mk_cfg():
+        cfg = dict(config_mod.default_config())
+        cfg["tracking"] = dict(cfg["tracking"])
+        cfg["tracking"]["match_frac_thresh"] = 0.95
+        return cfg
+
+    def step(system, i):
+        frame = system.make_frame(i, oracle.make_frame_image(i, h, w))
+        system.process_frame(frame)
+        while system.backend_step():
+            pass
+
+    # uninterrupted run
+    sys_a = SLAMSystem(params, CFG, mk_cfg(), (h, w), keyframe_capacity=16,
+                       edge_capacity=64, model_module=oracle)
+    for i in range(n_frames):
+        step(sys_a, i)
+
+    # interrupted at frame 5 -> checkpoint -> fresh system -> resume
+    sys_b = SLAMSystem(params, CFG, mk_cfg(), (h, w), keyframe_capacity=16,
+                       edge_capacity=64, model_module=oracle)
+    for i in range(5):
+        step(sys_b, i)
+    ck = checkpoint.save_state(tmp_path / "crash.npz", sys_b)
+    del sys_b
+
+    sys_c = SLAMSystem(params, CFG, mk_cfg(), (h, w), keyframe_capacity=16,
+                       edge_capacity=64, model_module=oracle)
+    checkpoint.load_state(ck, sys_c)
+    assert sys_c.resume_frame == 5
+    for i in range(sys_c.resume_frame, n_frames):
+        step(sys_c, i)
+
+    na, nc = len(sys_a.keyframes), len(sys_c.keyframes)
+    assert na == nc
+    np.testing.assert_array_equal(
+        np.asarray(sys_a.keyframes.dataset_idx[:na]),
+        np.asarray(sys_c.keyframes.dataset_idx[:nc]))
+    np.testing.assert_allclose(
+        np.asarray(sys_a.keyframes.T_WC[:na]),
+        np.asarray(sys_c.keyframes.T_WC[:nc]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sys_a.keyframes.X[:na]),
+        np.asarray(sys_c.keyframes.X[:nc]), atol=1e-5)
