@@ -37,6 +37,9 @@ def main(argv=None):
                         help="serve a LIVE WebGL reconstruction viewer on "
                              "this port during the run (pause/step UI; "
                              "0 picks a free port)")
+    parser.add_argument("--serve-viz-host", default="127.0.0.1",
+                        help="live viewer bind address (0.0.0.0 to expose "
+                             "beyond localhost)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ba-backend", default="",
                         choices=["", "dense", "edge_sharded", "schur"],
@@ -191,7 +194,8 @@ def main(argv=None):
     if args.serve_viz is not None:
         from mast3r_slam_tpu.viz_server import LiveViewer
 
-        viewer = LiveViewer(port=args.serve_viz).start()
+        viewer = LiveViewer(port=args.serve_viz,
+                            host=args.serve_viz_host).start()
         print(f"live viewer: http://localhost:{viewer.port}/")
 
     run_kwargs = dict(max_frames=args.max_frames, progress=True,

@@ -96,7 +96,7 @@ class LiveViewer:
     """
 
     def __init__(self, port=0, c_conf_threshold=1.5, max_points=400_000,
-                 refresh_s=2.0):
+                 refresh_s=2.0, host="127.0.0.1"):
         self.c_conf_threshold = c_conf_threshold
         self.max_points = max_points
         self.refresh_s = refresh_s
@@ -143,7 +143,9 @@ class LiveViewer:
                 else:
                     self._send(404, "text/plain", b"not found")
 
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        # localhost by default: the reconstruction should not be exposed on
+        # the network unless explicitly requested (host="0.0.0.0")
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._thread = None
 
