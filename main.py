@@ -203,16 +203,18 @@ def main(argv=None):
                       checkpoint_path=args.save_state or None,
                       checkpoint_every=args.save_state_every, viewer=viewer)
     t0 = time.time()
-    if args.profile_dir:
-        from mast3r_slam_tpu.utils.timing import ProfilerTrace
+    try:
+        if args.profile_dir:
+            from mast3r_slam_tpu.utils.timing import ProfilerTrace
 
-        with ProfilerTrace(args.profile_dir):
+            with ProfilerTrace(args.profile_dir):
+                stats = system.run(dataset, **run_kwargs)
+        else:
             stats = system.run(dataset, **run_kwargs)
-    else:
-        stats = system.run(dataset, **run_kwargs)
+    finally:
+        if viewer is not None:
+            viewer.stop()
     elapsed = time.time() - t0
-    if viewer is not None:
-        viewer.stop()
     n = len(dataset) if args.max_frames is None else min(args.max_frames,
                                                          len(dataset))
     print(f"done: {n} frames in {elapsed:.1f}s = {n / elapsed:.2f} FPS")

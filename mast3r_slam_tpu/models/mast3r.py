@@ -224,19 +224,29 @@ def init_params(key, cfg: MASt3RConfig):
 # ---------------------------------------------------------------------------
 
 
+def normalize_frames(img):
+    """Raw uint8 pixels -> ImgNorm float32 (no-op on float inputs).
+
+    The ON-DEVICE counterpart of the host normalization in
+    io/image.resize_img (((x/255) - 0.5)/0.5; spec dust3r/utils/image.py:23)
+    — frames cross the host->device boundary at 1 byte/channel instead of 4.
+    Part of the ``encode`` contract: EVERY pluggable model module's encode
+    (mast3r, models.oracle, ...) must accept uint8 via this helper, since
+    system.run ships raw bytes.
+    """
+    if img.dtype == jnp.uint8:
+        img = (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    return img
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def encode(params, img, cfg: MASt3RConfig):
     """Encode images (b, h, w, 3) -> (feat (b, n, ed), pos (b, n, 2)).
 
-    Accepts either ImgNorm-normalized float32 or raw uint8 pixels; uint8 is
-    normalized ON DEVICE with the same ((x/255) - 0.5)/0.5 expression as the
-    host path (io/image.resize_img; spec dust3r/utils/image.py:23) — frames
-    can then cross the host->device boundary at 1 byte/channel instead of 4
-    (4x less PCIe/interconnect traffic on the ingest path).
+    Accepts ImgNorm-normalized float32 or raw uint8 (see normalize_frames).
     """
-    if img.dtype == jnp.uint8:
-        img = (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-    feat, pos, _ = vit.encode(params, img, cfg, cfg.compute_dtype)
+    feat, pos, _ = vit.encode(params, normalize_frames(img), cfg,
+                              cfg.compute_dtype)
     return feat, pos
 
 

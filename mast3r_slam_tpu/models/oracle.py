@@ -102,6 +102,9 @@ def _frame_pose(params, feat):
 def encode(params, img, cfg: MASt3RConfig):
     """Reads the frame id from the image; emits id + patch-center world
     coordinates as the 'encoder features' (for retrieval overlap)."""
+    from .mast3r import normalize_frames
+
+    img = normalize_frames(img)   # encode contract: uint8 ingest works
     b = img.shape[0]
     fid = jnp.round(img[:, 0, 0, 0] * 1024.0).astype(jnp.int32)
     T = params["traj"][fid]

@@ -974,8 +974,12 @@ class SLAMSystem:
             i_prev = i
             if viewer is not None:
                 viewer.wait_if_paused()
+            # while paused, a released step advances ONE frame (per-frame
+            # path), matching the reference's pause/next semantics even in
+            # windowed mode
+            stepping = viewer is not None and viewer.paused
             if (W > 1 and self.single_thread and self.mode == Mode.TRACKING
-                    and i + W <= n
+                    and not stepping and i + W <= n
                     and len(self.keyframes) + W < self.keyframes.capacity):
                 ids = list(range(i, i + W))
                 imgs_np = []
@@ -1007,11 +1011,7 @@ class SLAMSystem:
                 i += 1
             if viewer is not None:
                 self.last_frame_idx = i
-                if self.single_thread:
-                    viewer.update(self)
-                else:
-                    with self.state_lock:
-                        viewer.update(self)
+                viewer.update(self)   # snapshots under state_lock itself
             if progress and i > 0 and i // 30 > i_prev // 30:
                 print(f"FPS: {i / (time.time() - t0):.2f}")
             if (checkpoint_every and checkpoint_path

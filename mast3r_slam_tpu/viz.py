@@ -221,15 +221,17 @@ def export_html_viewer(keyframes, out_path, c_conf_threshold=1.5,
     return out_path
 
 
-def live_html():
+def live_html(token=""):
     """Viewer page for the live server: same WebGL renderer, scene fetched
-    from ``/scene`` on a poll loop, pause/step buttons posting to ``/ctrl``
-    (the reference viewer's pause/next UI, visualization.py:324-332)."""
+    from ``/scene`` on a poll loop, pause/step buttons POSTing to ``/ctrl``
+    with the per-run control token (the reference viewer's pause/next UI,
+    visualization.py:324-332)."""
     html = _VIEWER_HTML.replace(
         "__EXTRA_HUD__",
         '&nbsp; <button id="pauseb">pause</button>'
         '<button id="stepb">step</button>')
-    return html.replace("__INIT_JS__", _LIVE_INIT_JS)
+    return html.replace("__INIT_JS__",
+                        _LIVE_INIT_JS.replace("__TOKEN__", token))
 
 
 _VIEWER_HTML = """<!DOCTYPE html>
@@ -338,14 +340,15 @@ const cols=new Uint8Array(b,off,npts*3);off+=npts*3;
 off=(off+3)&~3;
 const lpts=new Float32Array(b,off,nlines*3);off+=nlines*12;
 const lcols=new Uint8Array(b,off,nlines*3);
-setScene(pts,cols,lpts,lcols,[hf[0],hf[1],hf[2]],hf[3],first);
-first=false;
+setScene(pts,cols,lpts,lcols,[hf[0],hf[1],hf[2]],hf[3],first&&npts>0);
+if(npts>0)first=false;   // keep recentering armed until a real scene lands
 document.getElementById("stat").textContent=
 "kf "+nkf+" frame "+frame+" pts "+npts;
 document.getElementById("pauseb").textContent=paused?"resume":"pause";
 }catch(e){}
 setTimeout(poll,1500);}
 poll();
-document.getElementById("pauseb").onclick=()=>fetch("/ctrl?toggle=1");
-document.getElementById("stepb").onclick=()=>fetch("/ctrl?step=1");
+const ctrl=q=>fetch("/ctrl?"+q+"&t=__TOKEN__",{method:"POST"});
+document.getElementById("pauseb").onclick=()=>ctrl("toggle=1");
+document.getElementById("stepb").onclick=()=>ctrl("step=1");
 """

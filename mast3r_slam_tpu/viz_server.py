@@ -20,6 +20,8 @@ pointmaps already paid by any exporter.
 
 from __future__ import annotations
 
+import copy
+import secrets
 import struct
 import threading
 import time
@@ -106,6 +108,10 @@ class LiveViewer:
         self._blob_lock = threading.Lock()
         self._last_update = 0.0
         self._frame = 0
+        # per-run control token embedded in the served page: /ctrl requires
+        # it (and POST), so a hostile web page in the operator's browser
+        # cannot CSRF pause/resume a multi-hour run with a bare GET
+        self.token = secrets.token_hex(8)
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -124,24 +130,35 @@ class LiveViewer:
                 u = urlparse(self.path)
                 if u.path == "/":
                     self._send(200, "text/html",
-                               viz.live_html().encode())
+                               viz.live_html(viewer.token).encode())
                 elif u.path == "/scene":
                     with viewer._blob_lock:
                         blob = viewer._blob
                     self._send(200, "application/octet-stream", blob)
-                elif u.path == "/ctrl":
-                    q = parse_qs(u.query)
-                    if "toggle" in q:
-                        viewer.paused = not viewer.paused
-                    elif "pause" in q:
-                        viewer.paused = q["pause"][0] not in ("0", "false")
-                    if "step" in q:
-                        viewer._step.set()
-                    self._send(200, "application/json",
-                               b'{"paused": %s}'
-                               % (b"true" if viewer.paused else b"false"))
                 else:
                     self._send(404, "text/plain", b"not found")
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+                if u.path != "/ctrl":
+                    self._send(404, "text/plain", b"not found")
+                    return
+                if q.get("t", [""])[0] != viewer.token:
+                    self._send(403, "text/plain", b"bad token")
+                    return
+                was_paused = viewer.paused
+                if "toggle" in q:
+                    viewer.paused = not viewer.paused
+                elif "pause" in q:
+                    viewer.paused = q["pause"][0] not in ("0", "false")
+                if viewer.paused and not was_paused:
+                    viewer._step.clear()   # no stale step past a new pause
+                if "step" in q and viewer.paused:
+                    viewer._step.set()     # step only makes sense paused
+                self._send(200, "application/json",
+                           b'{"paused": %s}'
+                           % (b"true" if viewer.paused else b"false"))
 
         # localhost by default: the reconstruction should not be exposed on
         # the network unless explicitly requested (host="0.0.0.0")
@@ -158,16 +175,31 @@ class LiveViewer:
     # ---- run-loop hooks ---------------------------------------------------
 
     def update(self, system, force=False):
-        """Rebuild the scene snapshot if the refresh interval elapsed."""
+        """Rebuild the scene snapshot if the refresh interval elapsed.
+
+        Safe to call WITHOUT holding the system's state lock: only a
+        shallow reference snapshot of the (immutable device-array) state is
+        taken under ``system.state_lock``; the expensive device->host
+        fetches in viz.build_scene run outside it, so the backend thread is
+        never blocked on rendering.
+        """
         self._frame = getattr(system, "last_frame_idx", self._frame)
         now = time.monotonic()
         if not force and now - self._last_update < self.refresh_s:
             return
         self._last_update = now
-        scene = viz.build_scene(system.keyframes, self.c_conf_threshold,
-                                self.max_points, system.factor_graph)
-        blob = pack_scene(scene, n_kf=len(system.keyframes),
-                          frame=self._frame, paused=self.paused)
+        lock = getattr(system, "state_lock", None)
+        if lock is not None:
+            with lock:
+                kfs = copy.copy(system.keyframes)
+                fg = (copy.copy(system.factor_graph)
+                      if system.factor_graph is not None else None)
+        else:
+            kfs, fg = system.keyframes, system.factor_graph
+        scene = viz.build_scene(kfs, self.c_conf_threshold,
+                                self.max_points, fg)
+        blob = pack_scene(scene, n_kf=len(kfs), frame=self._frame,
+                          paused=self.paused)
         with self._blob_lock:
             self._blob = blob
 

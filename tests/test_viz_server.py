@@ -7,6 +7,7 @@ The server replaces the reference's viz process + WindowMsg queues
 import threading
 import time
 import types
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -69,6 +70,7 @@ def test_live_server_endpoints_and_pause_step():
         base = f"http://127.0.0.1:{viewer.port}"
         html = urllib.request.urlopen(f"{base}/", timeout=5).read().decode()
         assert "webgl" in html and "/scene" in html and "pauseb" in html
+        assert viewer.token in html and 'method:"POST"' in html
 
         # empty scene before the first update
         blob = urllib.request.urlopen(f"{base}/scene", timeout=5).read()
@@ -82,8 +84,29 @@ def test_live_server_endpoints_and_pause_step():
         assert out["n_kf"] == 3 and out["frame"] == 9
         assert len(out["pts"]) == 3 * 8 * 12
 
+        def ctrl(q, token=None):
+            tok = viewer.token if token is None else token
+            req = urllib.request.Request(f"{base}/ctrl?{q}&t={tok}",
+                                         method="POST")
+            return urllib.request.urlopen(req, timeout=5)
+
+        # control requires POST + the per-run token (CSRF hardening)
+        with np.testing.assert_raises(urllib.error.HTTPError):
+            ctrl("pause=1", token="wrong")
+        assert not viewer.paused
+        try:
+            urllib.request.urlopen(
+                f"{base}/ctrl?pause=1&t={viewer.token}", timeout=5)  # GET
+        except urllib.error.HTTPError:
+            pass
+        assert not viewer.paused
+
+        # a step posted while RUNNING must not latch past a later pause
+        ctrl("step=1")
+        assert not viewer._step.is_set()
+
         # pause via HTTP; wait_if_paused blocks until a step is queued
-        urllib.request.urlopen(f"{base}/ctrl?pause=1", timeout=5)
+        ctrl("pause=1")
         assert viewer.paused
         released = threading.Event()
 
@@ -95,10 +118,10 @@ def test_live_server_endpoints_and_pause_step():
         t.start()
         time.sleep(0.15)
         assert not released.is_set()   # genuinely blocked
-        urllib.request.urlopen(f"{base}/ctrl?step=1", timeout=5)
+        ctrl("step=1")
         assert released.wait(timeout=5.0)   # one frame released
         assert viewer.paused               # still paused after the step
-        urllib.request.urlopen(f"{base}/ctrl?toggle=1", timeout=5)
+        ctrl("toggle=1")
         assert not viewer.paused
         viewer.wait_if_paused()            # returns immediately
     finally:
