@@ -45,6 +45,15 @@ def main(argv=None):
                         choices=["", "dense", "edge_sharded", "schur"],
                         help="override parallel.ba_backend: distribute "
                              "global BA over all visible devices")
+    parser.add_argument("--coordinator", default="",
+                        help="multi-host: jax.distributed coordinator "
+                             "address host:port (or SLAM_COORDINATOR)")
+    parser.add_argument("--num-hosts", type=int, default=None,
+                        help="multi-host: total process count "
+                             "(or SLAM_NUM_PROCESSES)")
+    parser.add_argument("--host-id", type=int, default=None,
+                        help="multi-host: this process's rank "
+                             "(or SLAM_PROCESS_ID)")
     parser.add_argument("--metrics", default="",
                         help="write per-frame/per-solve metrics JSONL here")
     parser.add_argument("--save-state", default="",
@@ -64,6 +73,15 @@ def main(argv=None):
 
     import jax
     import numpy as np
+
+    # multi-host bring-up must precede any device query (SURVEY.md §5.8);
+    # no-op for single-process runs
+    from mast3r_slam_tpu.parallel import mesh as dist_mesh_mod
+
+    if dist_mesh_mod.init_distributed(args.coordinator or None,
+                                      args.num_hosts, args.host_id):
+        print(f"jax.distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} devices")
 
     from mast3r_slam_tpu import config as config_mod
     from mast3r_slam_tpu.io import datasets, export
