@@ -40,7 +40,7 @@ def main():
     # accuracy tradeoffs; reference-parity settings run ~40% slower)
     cfg = MASt3RConfig(img_size=(h, w), dtype="bfloat16",
                        head_dtype="bfloat16")
-    mcfg = MatchingConfig(dilation_max=1, max_iter=1, radius=2,
+    mcfg = MatchingConfig(dilation_max=1, max_iter=0, radius=2,
                           coarse_iter=4)
     tcfg = tracker_mod.TrackerConfig()
     W = int(os.environ.get("BENCH_WINDOW", "4"))

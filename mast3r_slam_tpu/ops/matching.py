@@ -279,20 +279,35 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
             f"{h}x{w}; set matching.coarse_iter: 0 for this image size "
             "(a silent fall-through would leave only max_iter LM "
             "iterations and quietly under-converge the projection)")
+    valid_coarse = None
     if coarse_iter > 0:
         p_img = p_init.reshape(b, h, w, 2)
         t_img = pts3d_norm.reshape(b, h, w, 3)
         pc = p_img[:, ::2, ::2].reshape(b, n // 4, 2)
         tc = t_img[:, ::2, ::2].reshape(b, n // 4, 3)
-        p_c, _ = iter_proj(rays_grad, tc, pc, coarse_iter, lambda_init,
-                           convergence_thresh)
+        p_c, v_c = iter_proj(rays_grad, tc, pc, coarse_iter, lambda_init,
+                             convergence_thresh)
         flow = (p_c - pc).reshape(b, h // 2, w // 2, 2)
         flow_up = jnp.repeat(jnp.repeat(flow, 2, axis=1), 2, axis=2)
         p_init = (p_img + flow_up).reshape(b, n, 2)
+        v_img = v_c.reshape(b, h // 2, w // 2)
+        valid_coarse = jnp.repeat(jnp.repeat(v_img, 2, axis=1), 2,
+                                  axis=2).reshape(b, n)
 
-    p1, valid_proj = iter_proj(rays_grad, pts3d_norm, p_init, max_iter,
-                               lambda_init, convergence_thresh)
-    p1i = p1.astype(jnp.int32)
+    if max_iter == 0 and valid_coarse is not None:
+        # pyramidal-only mode: the upsampled coarse flow IS the projection
+        # (within ~1 px of the LM fixpoint for smooth flow) and the +-r
+        # descriptor window absorbs the residual — skipping the full-res
+        # evaluation saves one h*w row gather per frame, the single
+        # largest matcher cost (one row ~ fixed latency; DEVELOPMENT.md)
+        p1 = p_init
+        valid_proj = valid_coarse
+    else:
+        p1, valid_proj = iter_proj(rays_grad, pts3d_norm, p_init, max_iter,
+                                   lambda_init, convergence_thresh)
+    p1i = jnp.clip(p1.astype(jnp.int32),
+                   jnp.zeros((2,), jnp.int32),
+                   jnp.asarray([w - 1, h - 1], jnp.int32))
 
     if payload is not None:
         if radius <= 0 or subpixel:

@@ -154,3 +154,30 @@ def test_match_end_to_end_shift():
     )
     assert acc > 0.9, acc
     assert np.asarray(valid)[0, interior].mean() > 0.9
+
+
+def test_match_pyramidal_only_equals_polished():
+    """coarse_iter>0 with max_iter=0 (pyramidal-only: the upsampled coarse
+    flow feeds the descriptor window directly, skipping the full-res LM
+    evaluation — one h*w row gather saved per frame) recovers the same
+    matches as the polished path on a smooth-flow fixture."""
+    key = jax.random.PRNGKey(3)
+    h, w, du, dv = 24, 32, 2, 1
+    X11, X21 = _synthetic_pointmaps(key, h, w, (du, dv))
+    D = jax.random.normal(key, (h, w, 8))
+    D = D / jnp.linalg.norm(D, axis=-1, keepdims=True)
+    D11 = D[None]
+    D21 = jnp.roll(D, shift=(-dv, -du), axis=(0, 1))[None]
+
+    kw = dict(dist_thresh=0.5, radius=2, dilation_max=1)
+    idx_ref, val_ref = matching.match(X11, X21, D11, D21, coarse_iter=4,
+                                      max_iter=1, **kw)
+    idx_pyr, val_pyr = matching.match(X11, X21, D11, D21, coarse_iter=4,
+                                      max_iter=0, **kw)
+    n = h * w
+    uv = matching.lin_to_pixel(jnp.arange(n, dtype=jnp.int32), w)
+    interior = ((np.asarray(uv[:, 0]) >= 4) & (np.asarray(uv[:, 0]) < w - 4)
+                & (np.asarray(uv[:, 1]) >= 4) & (np.asarray(uv[:, 1]) < h - 4))
+    same = np.asarray(idx_ref[0] == idx_pyr[0])[interior]
+    assert same.mean() > 0.95, same.mean()
+    assert np.asarray(val_pyr)[0, interior].mean() > 0.9
