@@ -109,6 +109,7 @@ def make_matching_config(cfg: dict) -> MatchingConfig:
         subpixel=bool(m.get("subpixel", False)),
         coarse_iter=int(m.get("coarse_iter", 0)),
         separable_refine=bool(m.get("separable_refine", False)),
+        refine_dtype=str(m.get("refine_dtype", "bfloat16")),
     )
 
 

@@ -235,7 +235,8 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
           lambda_init: float = 1e-8, convergence_thresh: float = 1e-6,
           dist_thresh: float = 1e-1, radius: int = 3, dilation_max: int = 5,
           subpixel: bool = False, coarse_iter: int = 0,
-          separable_refine: bool = False, payload=None):
+          separable_refine: bool = False, refine_dtype: str = "bfloat16",
+          payload=None):
     """Full matcher: ray LM projection + occlusion gate + descriptor refine.
 
     Spec: matching.py:52-90. Shapes: X11/X21 (b,h,w,3), D11/D21 (b,h,w,f).
@@ -354,8 +355,17 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
             refine = (refine_matches_full_unfold
                       if dilation_max >= 2 or radius <= 2
                       else refine_matches_unfold)
-        p1i = refine(D11.astype(jnp.bfloat16),
-                     D21.reshape(b, n, -1).astype(jnp.bfloat16),
+        if refine_dtype == "int8":
+            # descriptors are L2-normalized (components in [-1, 1]);
+            # symmetric x127 quantization halves the gathered window-row
+            # bytes (the refine's cost driver) and preserves the argmax to
+            # quantization ties (oracle-ATE-validated; DEVELOPMENT.md)
+            cast = lambda x: jnp.clip(
+                jnp.round(x.astype(jnp.float32) * 127.0),
+                -127, 127).astype(jnp.int8)
+        else:
+            cast = lambda x: x.astype(jnp.bfloat16)
+        p1i = refine(cast(D11), cast(D21.reshape(b, n, -1)),
                      p1i, radius, dilation_max)
 
     if not subpixel:

@@ -181,3 +181,25 @@ def test_match_pyramidal_only_equals_polished():
     same = np.asarray(idx_ref[0] == idx_pyr[0])[interior]
     assert same.mean() > 0.95, same.mean()
     assert np.asarray(val_pyr)[0, interior].mean() > 0.9
+
+
+def test_match_int8_refine_close_to_bf16():
+    """refine_dtype=int8 (halved window-row bytes) recovers nearly the same
+    matches as the bf16 search on the shift fixture; kept off by default
+    (oracle rel-ATE +4-5%, DEVELOPMENT.md)."""
+    key = jax.random.PRNGKey(3)
+    h, w, du, dv = 24, 32, 2, 1
+    X11, X21 = _synthetic_pointmaps(key, h, w, (du, dv))
+    D = jax.random.normal(key, (h, w, 8))
+    D = D / jnp.linalg.norm(D, axis=-1, keepdims=True)
+    D11 = D[None]
+    D21 = jnp.roll(D, shift=(-dv, -du), axis=(0, 1))[None]
+
+    kw = dict(dist_thresh=0.5, radius=2, dilation_max=1, coarse_iter=4,
+              max_iter=0)
+    idx_bf, _ = matching.match(X11, X21, D11, D21,
+                               refine_dtype="bfloat16", **kw)
+    idx_i8, val = matching.match(X11, X21, D11, D21,
+                                 refine_dtype="int8", **kw)
+    same = float(np.asarray(idx_bf[0] == idx_i8[0]).mean())
+    assert same > 0.95, same
