@@ -43,7 +43,7 @@ def main():
     mcfg = MatchingConfig(dilation_max=1, max_iter=0, radius=2,
                           coarse_iter=4)
     tcfg = tracker_mod.TrackerConfig()
-    W = int(os.environ.get("BENCH_WINDOW", "4"))
+    W = int(os.environ.get("BENCH_WINDOW", "8"))
 
     key = jax.random.PRNGKey(0)
     params = init_params(key, cfg)
