@@ -75,7 +75,22 @@ def main(argv=None):
     import numpy as np
 
     # multi-host bring-up must precede any device query (SURVEY.md §5.8);
-    # no-op for single-process runs
+    # no-op for single-process runs. Reject partially-specified flag sets:
+    # a missing --num-hosts would otherwise silently run every process as
+    # an independent single-host SLAM.
+    import os as _os
+
+    n_hosts = args.num_hosts
+    if n_hosts is None and "SLAM_NUM_PROCESSES" in _os.environ:
+        n_hosts = int(_os.environ["SLAM_NUM_PROCESSES"])
+    partial_flags = (args.coordinator or args.host_id is not None)
+    if partial_flags and (n_hosts is None or n_hosts <= 1):
+        parser.error("--coordinator/--host-id require --num-hosts >= 2 "
+                     "(or SLAM_NUM_PROCESSES)")
+    if (n_hosts or 1) > 1 and not (args.coordinator
+                                   or _os.environ.get("SLAM_COORDINATOR")):
+        parser.error("--num-hosts > 1 requires --coordinator host:port "
+                     "(or SLAM_COORDINATOR)")
     from mast3r_slam_tpu.parallel import mesh as dist_mesh_mod
 
     if dist_mesh_mod.init_distributed(args.coordinator or None,

@@ -310,9 +310,17 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
                    jnp.zeros((2,), jnp.int32),
                    jnp.asarray([w - 1, h - 1], jnp.int32))
 
+    if refine_dtype not in ("bfloat16", "int8"):
+        raise ValueError(
+            f"refine_dtype must be 'bfloat16' or 'int8', got "
+            f"{refine_dtype!r} (a silent fall-through would quietly run "
+            "bf16 while the user believes the quantized search is active)")
     if payload is not None:
         if radius <= 0 or subpixel:
             raise ValueError("payload requires radius > 0 and not subpixel")
+        if refine_dtype != "bfloat16":
+            raise ValueError("payload rides bf16-bitcast rows; "
+                             "refine_dtype='int8' is not supported with it")
         from .window_gather import refine_and_gather_full_unfold
 
         # one row gather per level carries descriptors + X11 + payload;

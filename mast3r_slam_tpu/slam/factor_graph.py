@@ -102,12 +102,11 @@ class MatchingConfig(NamedTuple):
                              # in the coarse stage; see ops.matching.match)
     separable_refine: bool = False   # axis-by-axis window search: 2 row
                              # gathers per point per level instead of 2r+1
+                             # (approximate; ops.window_gather)
     refine_dtype: str = "bfloat16"   # descriptor dtype inside the window
                              # search: "int8" halves the gathered row bytes
-                             # (descriptors are L2-normalized, so symmetric
-                             # x127 quantization preserves the argmax;
-                             # oracle-ATE-validated — see DEVELOPMENT.md)
-                             # (approximate; ops.window_gather)
+                             # at a small accuracy cost (oracle rel-ATE
+                             # +4-5%; sweep in DEVELOPMENT.md)
 
 
 class FactorGraph:

@@ -203,3 +203,9 @@ def test_match_int8_refine_close_to_bf16():
                                  refine_dtype="int8", **kw)
     same = float(np.asarray(idx_bf[0] == idx_i8[0]).mean())
     assert same > 0.95, same
+    assert float(np.asarray(val).mean()) > 0.8   # matches remain valid
+
+    import pytest
+
+    with pytest.raises(ValueError, match="refine_dtype"):
+        matching.match(X11, X21, D11, D21, refine_dtype="int4", **kw)
