@@ -646,11 +646,24 @@ class SLAMSystem:
         ds = self.downsample
         return u[::ds, ::ds] if ds > 1 else u
 
+    def _check_frame_shape(self, frame_id, img_np):
+        """A dataset frame that resizes to a different working resolution
+        (e.g. a ragged video tail) would otherwise surface as an opaque
+        reshape error deep inside the model; fail with the cause instead."""
+        ds = self.downsample   # store is at the POST-downsample resolution
+        expect = (self.keyframes.h * ds, self.keyframes.w * ds, 3)
+        if tuple(img_np.shape) != expect:
+            raise ValueError(
+                f"frame {frame_id} resized to {tuple(img_np.shape)} but the "
+                f"pipeline was built for {expect} (from the dataset's first "
+                "frame); all frames must share one resolution")
+
     def make_frame(self, frame_id: int, img_np: np.ndarray) -> Frame:
         """img_np: (h, w, 3), already resized — normalized float32 or raw
         uint8 (normalized on device by models.mast3r.encode)."""
         from ..lie import sim3
 
+        self._check_frame_shape(frame_id, img_np)
         img = jnp.asarray(img_np)
         T_WC = (self.current_frame.T_WC if self.current_frame is not None
                 else sim3.identity())
@@ -729,6 +742,8 @@ class SLAMSystem:
         assert len(kfs) + W < kfs.capacity, "keyframe buffer nearly full"
         n = kfs.h * kfs.w
 
+        for fid, im in zip(ids, imgs_np):
+            self._check_frame_shape(fid, im)
         imgs = jnp.asarray(np.stack(imgs_np))
         idx_init = tr.idx_f2k
         if idx_init is None:

@@ -310,3 +310,18 @@ def test_threaded_backend_mode():
     assert stats["keyframes"] >= 1
     n = len(system.keyframes)
     assert np.all(np.isfinite(np.asarray(system.keyframes.T_WC[:n])))
+
+
+def test_mismatched_frame_shape_fails_loudly():
+    """A frame at a different working resolution (e.g. a ragged video tail)
+    must raise a clear error, not an opaque reshape deep in the model."""
+    import pytest
+
+    cfg = dict(config_mod.default_config())
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    h, w = TINY.img_size
+    system = SLAMSystem(params, TINY, cfg, (h, w), keyframe_capacity=4,
+                        edge_capacity=8)
+    bad = np.zeros((h - 16, w, 3), np.float32)
+    with pytest.raises(ValueError, match="resized to"):
+        system.make_frame(0, bad)
