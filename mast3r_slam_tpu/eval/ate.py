@@ -90,6 +90,59 @@ def ate_rmse(gt_file, traj_file, max_diff: float = 0.02,
     }
 
 
+def _quat_to_R(q):
+    """(n, 4) xyzw quaternions -> (n, 3, 3) rotation matrices."""
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((len(q), 3, 3))
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - z * w)
+    R[:, 0, 2] = 2 * (x * z + y * w)
+    R[:, 1, 0] = 2 * (x * y + z * w)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - x * w)
+    R[:, 2, 0] = 2 * (x * z - y * w)
+    R[:, 2, 1] = 2 * (y * z + x * w)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def rpe(gt_file, traj_file, delta: int = 1, max_diff: float = 0.02):
+    """Relative pose error over associated pose pairs ``delta`` frames
+    apart (the standard drift metric alongside ATE; semantics of
+    ``evo_rpe``/the TUM tooling). Returns dict with translational RMSE
+    (trans_rmse, meters per delta) and rotational RMSE (rot_rmse_deg).
+    Alignment-free: relative motions cancel the global frame (scale is NOT
+    normalized — use ATE's Sim3 alignment for monocular scale)."""
+    ts_gt, t_gt, q_gt = load_tum_trajectory(gt_file)
+    ts_est, t_est, q_est = load_tum_trajectory(traj_file)
+    ia, ib = associate(ts_gt, ts_est, max_diff)
+    if len(ia) < delta + 2:
+        raise ValueError(f"only {len(ia)} associated poses")
+    Rg = _quat_to_R(q_gt[ia])
+    Re = _quat_to_R(q_est[ib])
+    tg, te = t_gt[ia], t_est[ib]
+    n = len(ia) - delta
+    terr = np.empty(n)
+    rerr = np.empty(n)
+    for i in range(n):
+        # relative motions i -> i+delta in each trajectory
+        dRg = Rg[i].T @ Rg[i + delta]
+        dtg = Rg[i].T @ (tg[i + delta] - tg[i])
+        dRe = Re[i].T @ Re[i + delta]
+        dte = Re[i].T @ (te[i + delta] - te[i])
+        E_R = dRg.T @ dRe
+        terr[i] = np.linalg.norm(dte - dtg)
+        ang = np.clip((np.trace(E_R) - 1.0) / 2.0, -1.0, 1.0)
+        rerr[i] = np.degrees(np.arccos(ang))
+    return {
+        "trans_rmse": float(np.sqrt(np.mean(terr ** 2))),
+        "rot_rmse_deg": float(np.sqrt(np.mean(rerr ** 2))),
+        "n_pairs": int(n),
+        "delta": int(delta),
+    }
+
+
 def main(argv=None):
     import argparse
 
@@ -98,12 +151,19 @@ def main(argv=None):
     p.add_argument("traj")
     p.add_argument("--max-diff", type=float, default=0.02)
     p.add_argument("--no-scale", action="store_true")
+    p.add_argument("--rpe-delta", type=int, default=0,
+                   help="> 0: also print RPE over pose pairs this many "
+                        "frames apart")
     args = p.parse_args(argv)
     res = ate_rmse(args.gt, args.traj, args.max_diff,
                    with_scale=not args.no_scale)
     print(f"ATE RMSE: {res['rmse']:.6f} m  (mean {res['mean']:.6f}, "
           f"median {res['median']:.6f}, pairs {res['n_pairs']}, "
           f"scale {res['scale']:.4f})")
+    if args.rpe_delta > 0:
+        r = rpe(args.gt, args.traj, args.rpe_delta, args.max_diff)
+        print(f"RPE(delta={r['delta']}): trans {r['trans_rmse']:.6f} m, "
+              f"rot {r['rot_rmse_deg']:.4f} deg  (pairs {r['n_pairs']})")
 
 
 if __name__ == "__main__":

@@ -162,3 +162,35 @@ def test_realsense_adapter_gated():
 
     with pytest.raises(ImportError, match="pyrealsense2"):
         RealsenseDataset()
+
+
+def test_rpe_zero_for_rigid_transform_and_detects_drift(tmp_path):
+    """RPE is alignment-free: a rigidly transformed copy scores ~0; adding
+    per-step noise scores its magnitude; a 10-degree per-step rotation
+    offset shows in rot_rmse_deg."""
+    rng = np.random.default_rng(1)
+    n = 40
+    stamps = np.arange(n) * 0.1
+    traj = np.cumsum(rng.standard_normal((n, 3)) * 0.1, axis=0)
+    th = 0.9
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0],
+                  [0, 0, 1.0]])
+    est = (R @ traj.T).T + np.array([5.0, 1.0, -2.0])   # rigid, NO scale
+    gt_f, est_f = tmp_path / "gt.txt", tmp_path / "est.txt"
+    # identity orientations rotated rigidly by R for the estimate
+    w = np.cos(th / 2)
+    q_est = np.tile([0, 0, np.sin(th / 2), w], (n, 1))
+    _write_tum(gt_f, stamps, traj)
+    _write_tum(est_f, stamps, est, q_est)
+    res = ate.rpe(gt_f, est_f, delta=1)
+    assert res["trans_rmse"] < 1e-9 and res["rot_rmse_deg"] < 1e-6
+
+    # translation drift of exactly 0.05 m per step along x
+    drift = est + np.outer(np.arange(n), [0.05, 0, 0])
+    _write_tum(est_f, stamps, drift, q_est)
+    res = ate.rpe(gt_f, est_f, delta=1)
+    # per-step relative translation differs by R^T [0.05,0,0]
+    assert abs(res["trans_rmse"] - 0.05) < 1e-9
+    res4 = ate.rpe(gt_f, est_f, delta=4)
+    assert abs(res4["trans_rmse"] - 0.2) < 1e-9
