@@ -121,3 +121,32 @@ def test_window_halts_at_skip():
     np.testing.assert_allclose(np.asarray(sys_a.keyframes.T_WC[:na]),
                                np.asarray(sys_b.keyframes.T_WC[:nb]),
                                atol=1e-5)
+
+
+def test_window_with_dense_backend_matcher():
+    """The tpu_fast combination — windowed frontend + dense coarse-to-fine
+    matcher for backend/loop-closure edges — runs end-to-end WITH the
+    backend drained (local_opt.matcher only affects factor-graph edge
+    matching, so the backend must run to exercise it)."""
+    n_frames = 8
+    traj = _traj(n_frames)
+    params = oracle.make_params(traj, desc_dim=CFG.desc_dim)
+    system = _mk_system(params, window=2)
+    system.factor_graph.cfg = system.factor_graph.cfg._replace(
+        matcher="dense")
+    h, w = CFG.img_size
+    i = 0
+    while i < n_frames:
+        if system.mode == Mode.TRACKING and i + 2 <= n_frames:
+            ids = list(range(i, i + 2))
+            imgs = [oracle.make_frame_image(t, h, w) for t in ids]
+            i += system.process_window(ids, imgs)
+        else:
+            frame = system.make_frame(i, oracle.make_frame_image(i, h, w))
+            system.process_frame(frame)
+            i += 1
+        while system.backend_step():
+            pass
+    assert system.mode in (Mode.TRACKING, Mode.RELOC)
+    assert len(system.keyframes) >= 4
+    assert system.factor_graph.n_edges >= 1   # dense matcher built edges
