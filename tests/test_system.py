@@ -325,3 +325,55 @@ def test_mismatched_frame_shape_fails_loudly():
     bad = np.zeros((h - 16, w, 3), np.float32)
     with pytest.raises(ValueError, match="resized to"):
         system.make_frame(0, bad)
+
+
+def test_successful_relocalization_resumes_tracking():
+    """Full reloc flow (SURVEY.md §3.3): a violent jump breaks tracking ->
+    RELOC; the next frame REVISITS a mapped pose, retrieval proposes it,
+    the strict edge gate accepts, the pose is seeded from the graph and
+    the mode returns to TRACKING with stats['relocs'] == 1."""
+    from mast3r_slam_tpu.lie import sim3
+    from mast3r_slam_tpu.models import oracle
+    from mast3r_slam_tpu.models.mast3r import MASt3RConfig
+    from mast3r_slam_tpu.slam import retrieval as retrieval_mod
+
+    CFG = MASt3RConfig(img_size=(64, 96), enc_embed_dim=64, desc_dim=8,
+                       dtype="float32")
+    h, w = CFG.img_size
+    # frames 0..4 smooth; frame 5 teleports far away (tracking failure);
+    # frame 6 back at frame 1's pose (revisit -> reloc target)
+    Ts = [sim3.identity()]
+    for i in range(1, 5):
+        Ts.append(sim3.mul(Ts[-1], sim3.exp(jnp.array(
+            [0.18, 0.0, 0.04, 0.0, 0.06, 0.0, 0.0]))))
+    Ts.append(sim3.mul(Ts[-1], sim3.exp(jnp.array(
+        [9.0, 6.0, -4.0, 0.0, 2.8, 0.0, 0.0]))))   # frame 5: jump
+    Ts.append(Ts[1])                                # frame 6: revisit
+    traj = jnp.stack(Ts)
+    params = oracle.make_params(traj, desc_dim=CFG.desc_dim)
+
+    cfg = dict(config_mod.default_config())
+    cfg["tracking"] = dict(cfg["tracking"])
+    cfg["tracking"]["match_frac_thresh"] = 0.95
+    cfg["retrieval"] = dict(cfg["retrieval"])
+    cfg["retrieval"]["min_thresh"] = 0.0   # random-projection retriever
+    rparams = retrieval_mod.init_retrieval_params(
+        jax.random.PRNGKey(7), backbone_dim=CFG.enc_embed_dim,
+        proj_dim=32, codebook_size=64)
+    system = SLAMSystem(params, CFG, cfg, (h, w), keyframe_capacity=16,
+                        edge_capacity=64, model_module=oracle,
+                        retrieval_params=rparams)
+    for i in range(7):
+        frame = system.make_frame(i, oracle.make_frame_image(i, h, w))
+        system.process_frame(frame)
+        while system.backend_step():
+            pass
+    assert system.stats["skipped"] >= 1          # the jump broke tracking
+    assert system.stats["relocs"] == 1, system.stats
+    assert system.mode == Mode.TRACKING
+    # the relocalized frame was adopted as a keyframe with a pose near
+    # the revisited one (graph-seeded + solved)
+    n = len(system.keyframes)
+    T_last = np.asarray(system.keyframes.T_WC[n - 1])
+    T_gt = np.asarray(traj[6])
+    assert np.linalg.norm(T_last[:3] - T_gt[:3]) < 0.5, (T_last, T_gt)
