@@ -123,18 +123,14 @@ def rpe(gt_file, traj_file, delta: int = 1, max_diff: float = 0.02):
     Re = _quat_to_R(q_est[ib])
     tg, te = t_gt[ia], t_est[ib]
     n = len(ia) - delta
-    terr = np.empty(n)
-    rerr = np.empty(n)
-    for i in range(n):
-        # relative motions i -> i+delta in each trajectory
-        dRg = Rg[i].T @ Rg[i + delta]
-        dtg = Rg[i].T @ (tg[i + delta] - tg[i])
-        dRe = Re[i].T @ Re[i + delta]
-        dte = Re[i].T @ (te[i + delta] - te[i])
-        E_R = dRg.T @ dRe
-        terr[i] = np.linalg.norm(dte - dtg)
-        ang = np.clip((np.trace(E_R) - 1.0) / 2.0, -1.0, 1.0)
-        rerr[i] = np.degrees(np.arccos(ang))
+    # relative motions i -> i+delta in each trajectory, batched
+    dRg = np.einsum("nji,njk->nik", Rg[:n], Rg[delta:])
+    dtg = np.einsum("nji,nj->ni", Rg[:n], tg[delta:] - tg[:n])
+    dRe = np.einsum("nji,njk->nik", Re[:n], Re[delta:])
+    dte = np.einsum("nji,nj->ni", Re[:n], te[delta:] - te[:n])
+    terr = np.linalg.norm(dte - dtg, axis=1)
+    tr = np.einsum("nji,nji->n", dRg, dRe)   # trace(dRg^T dRe)
+    rerr = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
     return {
         "trans_rmse": float(np.sqrt(np.mean(terr ** 2))),
         "rot_rmse_deg": float(np.sqrt(np.mean(rerr ** 2))),
