@@ -72,7 +72,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
-    import numpy as np
 
     # multi-host bring-up must precede any device query (SURVEY.md §5.8);
     # no-op for single-process runs. Reject partially-specified flag sets:

@@ -50,9 +50,23 @@ def _merge(parent: dict, child: dict) -> dict:
     return out
 
 
+def _resolve(path) -> pathlib.Path:
+    """Resolve a config path: as given (cwd/absolute), else the preset of
+    the same name shipped INSIDE the package (`mast3r_slam_tpu/configs/`,
+    kept byte-identical to the repo-root `configs/` by a test) — so the
+    installed console script works from any directory."""
+    p = pathlib.Path(path)
+    if p.exists():
+        return p
+    packaged = pathlib.Path(__file__).resolve().parent / "configs" / p.name
+    if packaged.exists():
+        return packaged
+    return p   # let open() raise the natural FileNotFoundError
+
+
 def load_config(path) -> dict:
     """Load a YAML config, following ``inherit:`` parent chains."""
-    path = pathlib.Path(path)
+    path = _resolve(path)
     with open(path, "r") as f:
         cfg = yaml.load(f, Loader=_loader()) or {}
     inherit = cfg.pop("inherit", None)
@@ -66,8 +80,8 @@ def load_config(path) -> dict:
 
 def default_config() -> dict:
     """Built-in defaults mirroring config/base.yaml of the reference."""
-    here = pathlib.Path(__file__).resolve().parent.parent / "configs" / "base.yaml"
-    return load_config(here)
+    repo = pathlib.Path(__file__).resolve().parent.parent / "configs" / "base.yaml"
+    return load_config(repo if repo.exists() else "configs/base.yaml")
 
 
 # -- typed config derivation -------------------------------------------------

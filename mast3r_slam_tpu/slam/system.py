@@ -650,8 +650,7 @@ class SLAMSystem:
         """A dataset frame that resizes to a different working resolution
         (e.g. a ragged video tail) would otherwise surface as an opaque
         reshape error deep inside the model; fail with the cause instead."""
-        ds = self.downsample   # store is at the POST-downsample resolution
-        expect = (self.keyframes.h * ds, self.keyframes.w * ds, 3)
+        expect = (*self.full_img_shape, 3)   # pre-downsample resolution
         if tuple(img_np.shape) != expect:
             raise ValueError(
                 f"frame {frame_id} resized to {tuple(img_np.shape)} but the "

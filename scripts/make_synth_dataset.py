@@ -21,19 +21,31 @@ import numpy as np
 import PIL.Image
 
 
+def _box_blur(x, k=9):
+    """Separable k x k box blur via cumulative sums (numpy only — the smoke
+    path must not depend on the optional scipy extra). Same-size output;
+    edges use the truncated window (close enough for texture synthesis)."""
+    r = k // 2
+    for ax in (0, 1):
+        pad = [(0, 0)] * x.ndim
+        pad[ax] = (r + 1, r)
+        c = np.cumsum(np.pad(x, pad, mode="edge"), axis=ax)
+        x = (np.take(c, range(k, c.shape[ax]), axis=ax)
+             - np.take(c, range(0, c.shape[ax] - k), axis=ax)) / k
+    return x
+
+
 def make(out_dir=".synth_ds", n_frames=16, h=480, w=640, seed=0):
     rng = np.random.default_rng(seed)
     base = rng.uniform(0, 255, (h + 3 * n_frames - 2,
                                 w + 5 * n_frames - 4, 3)).astype(np.float32)
-    k = np.ones((9, 9)) / 81.0
-    from scipy.signal import convolve2d
-
-    for c in range(3):
-        base[..., c] = convolve2d(base[..., c], k, mode="same")
+    base = _box_blur(base)
     base = (base - base.min()) / (np.ptp(base) + 1e-9) * 255
 
     out = pathlib.Path(out_dir)
     out.mkdir(exist_ok=True, parents=True)
+    for stale in out.glob("*.png"):   # a smaller rerun must not keep tails
+        stale.unlink()
     for i in range(n_frames):
         crop = base[i * 3:i * 3 + h, i * 5:i * 5 + w]
         PIL.Image.fromarray(crop.astype(np.uint8)).save(out / f"{i:04d}.png")

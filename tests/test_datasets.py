@@ -133,3 +133,31 @@ def test_k_frame_rescale_roundtrip():
     # focal scales by the resize factors
     np.testing.assert_allclose(intr.K_frame[0, 0], intr.K[0, 0] / scale_w)
     np.testing.assert_allclose(intr.K_frame[1, 1], intr.K[1, 1] / scale_h)
+
+
+def test_packaged_configs_match_repo_configs():
+    """The preset copies shipped inside the package (wheel/console-script
+    path, config._resolve) must stay byte-identical to the repo-root
+    configs/ the docs and eval scripts reference."""
+    import pathlib
+
+    import mast3r_slam_tpu
+
+    pkg = pathlib.Path(mast3r_slam_tpu.__file__).parent / "configs"
+    repo = pathlib.Path(mast3r_slam_tpu.__file__).parent.parent / "configs"
+    repo_files = sorted(p.name for p in repo.glob("*.yaml"))
+    pkg_files = sorted(p.name for p in pkg.glob("*.yaml"))
+    assert repo_files == pkg_files and repo_files
+    for name in repo_files:
+        assert (pkg / name).read_bytes() == (repo / name).read_bytes(), name
+
+
+def test_config_resolves_packaged_preset(tmp_path, monkeypatch):
+    """load_config falls back to the packaged preset when the cwd-relative
+    path is absent (installed console-script behavior)."""
+    from mast3r_slam_tpu import config as config_mod
+
+    monkeypatch.chdir(tmp_path)   # no configs/ here
+    cfg = config_mod.load_config("configs/tpu_fast.yaml")
+    assert int(cfg["runtime"]["tracking_window"]) == 8
+    assert cfg["matching"]["max_iter"] == 0
