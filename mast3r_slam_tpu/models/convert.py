@@ -180,3 +180,88 @@ def convert_state_dict(sd, cfg: MASt3RConfig):
 def load_checkpoint(path, cfg: MASt3RConfig):
     """Convenience: .pth path -> JAX params."""
     return convert_state_dict(load_torch_state_dict(path), cfg)
+
+
+# ---------------------------------------------------------------------------
+# released-checkpoint loading (from_pretrained equivalent)
+# ---------------------------------------------------------------------------
+
+# kwargs of the released instantiation string we map onto MASt3RConfig.
+_INT_ARGS = {
+    "enc_embed_dim": "enc_embed_dim", "enc_depth": "enc_depth",
+    "enc_num_heads": "enc_num_heads", "dec_embed_dim": "dec_embed_dim",
+    "dec_depth": "dec_depth", "dec_num_heads": "dec_num_heads",
+    "patch_size": "patch_size",
+}
+
+
+def parse_model_args(args_str: str, img_size=None, **overrides) -> MASt3RConfig:
+    """Instantiation string from ``ckpt['args'].model`` -> MASt3RConfig.
+
+    The reference reconstructs the network with ``eval(ckpt['args'].model)``
+    (spec: mast3r/model.py:21-37, incl. the ManyAR->PatchEmbedDust3R and
+    landscape_only=False rewrites, which only affect portrait handling — the
+    weights and landscape forward are identical). We parse the same string
+    without eval: integer architecture kwargs by regex, plus sanity checks
+    that the head/activation family matches what this implementation
+    hardcodes (catmlp+dpt, pts3d+descN, exp depth/conf modes, RoPE freq).
+
+    ``img_size`` here is the *inference* resolution (h, w) — the checkpoint
+    string's img_size=(512, 512) is only the training crop bound.
+    """
+    import re
+
+    kw = {}
+    for m in re.finditer(r"(\w+)\s*=\s*(-?\d+)\s*[,)]", args_str):
+        name, val = m.group(1), int(m.group(2))
+        if name in _INT_ARGS:
+            kw[_INT_ARGS[name]] = val
+
+    m = re.search(r"output_mode\s*=\s*'pts3d\+desc(\d+)'", args_str)
+    if m:
+        kw["desc_dim"] = int(m.group(1))
+    elif "output_mode" in args_str:
+        raise ValueError(f"unsupported output_mode in: {args_str}")
+
+    m = re.search(r"pos_embed\s*=\s*'RoPE(\d+)'", args_str)
+    if m:
+        kw["rope_base"] = float(m.group(1))
+    elif "pos_embed" in args_str:
+        raise ValueError(f"unsupported pos_embed in: {args_str}")
+
+    if "head_type" in args_str and "catmlp+dpt" not in args_str:
+        raise ValueError(f"unsupported head_type in: {args_str}")
+    for mode in ("depth_mode", "conf_mode", "desc_conf_mode"):
+        m = re.search(mode + r"\s*=\s*\(\s*'(\w+)'", args_str)
+        if m and m.group(1) != "exp":
+            raise ValueError(f"unsupported {mode}={m.group(1)!r}")
+
+    if img_size is not None:
+        kw["img_size"] = tuple(img_size)
+    kw.update(overrides)
+    return MASt3RConfig(**kw)
+
+
+def load_released_checkpoint(path, img_size=None, **overrides):
+    """Released-format .pth ({'args': Namespace(model=...), 'model': sd})
+    -> (MASt3RConfig, params). The from_pretrained equivalent
+    (spec: mast3r/model.py:47-52 -> load_model :21-37).
+
+    ``overrides`` pass MASt3RConfig fields (dtype=..., head_dtype=...);
+    ``img_size`` sets the inference resolution (default: config default).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if "args" in ckpt and hasattr(ckpt["args"], "model"):
+        cfg = parse_model_args(ckpt["args"].model, img_size=img_size,
+                               **overrides)
+    else:  # bare state_dict: trust caller-supplied overrides
+        kw = dict(overrides)
+        if img_size is not None:
+            kw["img_size"] = tuple(img_size)
+        cfg = MASt3RConfig(**kw)
+    sd = ckpt.get("model", ckpt)
+    sd = {k: v.detach().cpu().numpy() for k, v in sd.items()
+          if hasattr(v, "detach")}
+    return cfg, convert_state_dict(sd, cfg)

@@ -8,6 +8,7 @@ loading the real released .pth is guaranteed to reproduce the reference
 network (SURVEY.md §4 test strategy).
 """
 
+import os
 import pathlib
 import sys
 
@@ -125,3 +126,70 @@ def test_full_two_view_parity(torch_model, jax_setup):
             np.asarray(jres["desc_conf"]), tres["desc_conf"].numpy(),
             atol=5e-3, rtol=1e-2,
         )
+
+
+def test_portrait_parity(torch_model, jax_setup):
+    """Portrait (h > w) two-view parity vs the reference torch model.
+
+    The reference loads with PatchEmbedDust3R + landscape_only=False
+    (mast3r/model.py:25-30), which processes portrait frames directly —
+    no transpose path needed. Our pipeline is shape-parameterized the same
+    way: portrait is just img_size=(h, w) with h > w."""
+    import torch
+
+    from mast3r_slam_tpu.models import mast3r
+
+    cfg, params = jax_setup
+    cfg_p = cfg._replace(img_size=(96, 64))
+    rng = np.random.default_rng(3)
+    imgs = rng.standard_normal((2, 96, 64, 3)).astype(np.float32) * 0.5
+    timg = torch.from_numpy(imgs).permute(0, 3, 1, 2)
+    shape = torch.tensor([[96, 64]] * 2, dtype=torch.int32)
+    with torch.no_grad():
+        f1, p1, _ = torch_model._encode_image(timg[:1], shape[:1])
+        f2, p2, _ = torch_model._encode_image(timg[1:], shape[1:])
+        dec1, dec2 = torch_model._decoder(f1, p1, f2, p2)
+        res1 = torch_model._downstream_head(1, [t.float() for t in dec1],
+                                            shape[:1])
+        res2 = torch_model._downstream_head(2, [t.float() for t in dec2],
+                                            shape[1:])
+
+    jf, jp = mast3r.encode(params, imgs, cfg_p)
+    np.testing.assert_array_equal(
+        np.asarray(jp), torch.cat([p1, p2]).numpy())
+    jres1, jres2 = mast3r.decode_pair(
+        params, jf[:1], jp[:1], jf[1:], jp[1:], cfg_p)
+    for tres, jres in [(res1, jres1), (res2, jres2)]:
+        np.testing.assert_allclose(
+            np.asarray(jres["pts3d"]), tres["pts3d"].numpy(), atol=5e-3,
+            rtol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(jres["desc"]), tres["desc"].numpy(), atol=5e-3)
+
+
+@pytest.mark.skipif(os.environ.get("RUN_FULL_SCALE_PARITY") != "1",
+                    reason="full-size ViT-L parity takes ~7 min on a 2-CPU "
+                           "host; set RUN_FULL_SCALE_PARITY=1 (results "
+                           "pinned in PARITY.md)")
+def test_full_scale_parity():
+    """Full production config (ViT-L 24x1024x16 enc, dual 12x768 dec,
+    catmlp+dpt head, 512x384) through the released-checkpoint load path
+    (convert.load_released_checkpoint, the from_pretrained equivalent —
+    spec mast3r/model.py:21-37). Asserts the bounds measured by
+    scripts/full_scale_parity.py (PARITY.md): fp32 max-abs-err ~1e-6
+    (pure reassociation noise), i.e. architecture + converter are exact
+    at production scale."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, str(pathlib.Path(__file__).parents[1] /
+                              "scripts/full_scale_parity.py"),
+         "--out", "/tmp/parity_test.md"],
+        capture_output=True, text=True, timeout=3600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    txt = pathlib.Path("/tmp/parity_test.md").read_text()
+    for line in txt.splitlines():
+        if line.startswith("| fp32"):
+            mx = float(line.split("|")[3])
+            assert mx < 1e-4, line
