@@ -95,6 +95,7 @@ def make_tracker_config(cfg: dict) -> TrackerConfig:
         delta_norm=float(t["delta_norm"]), huber=float(t["huber"]),
         min_match_frac=float(t["min_match_frac"]),
         match_frac_thresh=float(t["match_frac_thresh"]),
+        kf_every=int(t.get("kf_every", 0)),
         sigma_ray=float(t["sigma_ray"]), sigma_dist=float(t["sigma_dist"]),
         sigma_pixel=float(t["sigma_pixel"]), sigma_depth=float(t["sigma_depth"]),
         pixel_border=int(t["pixel_border"]), depth_eps=float(t["depth_eps"]),
@@ -130,8 +131,14 @@ def make_matching_config(cfg: dict) -> MatchingConfig:
 def make_factor_graph_config(cfg: dict, edge_capacity: int = 256
                              ) -> FactorGraphConfig:
     o = cfg["local_opt"]
+    rt = cfg.get("runtime", {})
     return FactorGraphConfig(
-        edge_capacity=edge_capacity, Q_conf=float(o["Q_conf"]),
+        edge_capacity=edge_capacity,
+        max_edge_capacity=int(rt.get("max_edge_capacity", 0)),
+        edge_bucket_floor=int(rt.get("edge_bucket_floor", 8)),
+        kf_bucket_floor=int(rt.get("kf_bucket_floor", 8)),
+        pad_edge_batch=bool(rt.get("pad_edge_batch", True)),
+        Q_conf=float(o["Q_conf"]),
         min_match_frac=float(o["min_match_frac"]),
         matcher=str(o.get("matcher", "iter_proj")),
         ba_backend=str(cfg.get("parallel", {}).get("ba_backend", "dense")),

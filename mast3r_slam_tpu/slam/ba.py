@@ -53,6 +53,11 @@ class BAConfig(NamedTuple):
     pixel_border: int = -10
     depth_eps: float = 1e-6
     point_chunk: int = 8192
+    solver: str = "fp32"   # "fp32": equilibrated on-device Cholesky (the
+                           # production path); "fp64_host": fp64 Cholesky in
+                           # a host callback — the debugging fallback that
+                           # reproduces the reference's Eigen fp64 CPU solve
+                           # (gn_kernels.cu:57-159) bit-for-bit in precision
 
 
 def _gather_points(Xs, Cs, ii, idx):
@@ -399,11 +404,34 @@ def _assemble(H_edges, g_edges, ii, jj, n_kf, K_cap, pin):
     return Hd, gd
 
 
-def _solve(Hd, gd, n_kf, K_cap, pin):
-    """Equilibrated fp32 Cholesky solve of the assembled system.
+def _host_cholesky_fp64(Hd, gd):
+    """Host-side fp64 Cholesky solve (the Eigen-equivalent debug fallback,
+    gn_kernels.cu:73,139). Returns dx fp32; zeros on factorization failure
+    (cu:147-149)."""
+    import numpy as np
+
+    H = np.asarray(Hd, np.float64)
+    g = np.asarray(gd, np.float64)
+    try:
+        import scipy.linalg as sla
+
+        c = sla.cho_factor(H, lower=True)
+        dx = sla.cho_solve(c, g)
+    except Exception:
+        return np.zeros_like(g, dtype=np.float32)
+    if not np.all(np.isfinite(dx)):
+        return np.zeros_like(g, dtype=np.float32)
+    return dx.astype(np.float32)
+
+
+def _solve(Hd, gd, n_kf, K_cap, pin, solver: str = "fp32"):
+    """Cholesky solve of the assembled system.
 
     Identity diagonals for pinned/inactive rows (spec: num_fix handling in
     gn_kernels.cu:1157); Eigen-failure fallback dx = 0 (cu:147-149).
+    ``solver`` is static: "fp32" = Jacobi-equilibrated on-device fp32
+    (production), "fp64_host" = fp64 in a host callback (the reference's
+    Eigen-precision debug fallback; SURVEY §7 hard-parts list).
     """
     D = 7
     kf_ids = jnp.arange(K_cap)
@@ -411,6 +439,12 @@ def _solve(Hd, gd, n_kf, K_cap, pin):
     free_rows = jnp.repeat(free, D)
     Hd = Hd + jnp.diag(jnp.where(free_rows, 0.0, 1.0))
     gd = jnp.where(free_rows, gd, 0.0)
+
+    if solver == "fp64_host":
+        dx = jax.pure_callback(
+            _host_cholesky_fp64,
+            jax.ShapeDtypeStruct(gd.shape, jnp.float32), Hd, gd)
+        return -dx.reshape(K_cap, D), free
 
     # Jacobi equilibration + fp32 Cholesky (fp64 Eigen replacement)
     d = jnp.sqrt(jnp.maximum(jnp.diag(Hd), 1e-12))
@@ -425,9 +459,10 @@ def _solve(Hd, gd, n_kf, K_cap, pin):
     return dx, free
 
 
-def _assemble_and_solve(H_edges, g_edges, ii, jj, n_kf, K_cap, pin):
+def _assemble_and_solve(H_edges, g_edges, ii, jj, n_kf, K_cap, pin,
+                        solver: str = "fp32"):
     Hd, gd = _assemble(H_edges, g_edges, ii, jj, n_kf, K_cap, pin)
-    return _solve(Hd, gd, n_kf, K_cap, pin)
+    return _solve(Hd, gd, n_kf, K_cap, pin, solver)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -449,7 +484,8 @@ def gauss_newton_rays(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
         T, it, done = state
         H, g = _edge_terms_rays(T, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
                                 edge_mask, cfg, pre=pre)
-        dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin)
+        dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin,
+                                       cfg.solver)
         T_new = sim3.retr(T, dx)
         T = jnp.where(free[:, None], T_new, T)
         delta_norm = jnp.linalg.norm(jnp.where(free[:, None], dx, 0.0))
@@ -477,7 +513,8 @@ def gauss_newton_points(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
         T, it, done = state
         H, g = _edge_terms_points(T, Xs, Cs, ii, jj, idx_ii2jj, valid_match,
                                   Q, edge_mask, cfg, pre=pre)
-        dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin)
+        dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin,
+                                       cfg.solver)
         T_new = sim3.retr(T, dx)
         T = jnp.where(free[:, None], T_new, T)
         delta_norm = jnp.linalg.norm(jnp.where(free[:, None], dx, 0.0))
@@ -509,7 +546,8 @@ def gauss_newton_calib(T_WCs, Xs, Cs, K_mat, ii, jj, idx_ii2jj, valid_match,
         H, g = _edge_terms_calib(T, Xs, Cs, K_mat, ii, jj, idx_ii2jj,
                                  valid_match, Q, edge_mask, img_size, cfg,
                                  pre=pre)
-        dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin)
+        dx, free = _assemble_and_solve(H, g, ii, jj, n_kf, K_cap, cfg.pin,
+                                       cfg.solver)
         T_new = sim3.retr(T, dx)
         T = jnp.where(free[:, None], T_new, T)
         delta_norm = jnp.linalg.norm(jnp.where(free[:, None], dx, 0.0))

@@ -105,6 +105,7 @@ def load_state(path, system):
     kf.pos = into(kf.pos, "kf_pos")
     kf.uimg[: kf.n_size] = data["kf_uimg"][: kf.n_size]
     fg.n_edges = int(data["fg_n_edges"])
+    fg.ensure_capacity(fg.n_edges)   # checkpoints may hold a grown graph
     fg.ii = into(fg.ii, "fg_ii")
     fg.jj = into(fg.jj, "fg_jj")
     fg.idx_ii2jj = into(fg.idx_ii2jj, "fg_idx")

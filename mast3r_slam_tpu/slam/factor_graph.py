@@ -25,7 +25,22 @@ from .frame import KeyframeStore
 
 
 class FactorGraphConfig(NamedTuple):
-    edge_capacity: int = 256
+    edge_capacity: int = 256    # INITIAL buffer size; buffers double on
+                                # demand (reference edges grow unboundedly,
+                                # global_opt.py:89-96)
+    max_edge_capacity: int = 0  # hard cap (0 = unbounded). When hit, new
+                                # edges are DROPPED and counted in
+                                # FactorGraph.edges_dropped
+    edge_bucket_floor: int = 8  # smallest padded edge count a BA solve
+                                # compiles for; raise to bound the number
+                                # of compiled (E, K) shape buckets (each
+                                # bucket is a fresh — slow — compile on a
+                                # remote-compile backend; DEVELOPMENT.md)
+    kf_bucket_floor: int = 8    # same for the keyframe-count axis
+    pad_edge_batch: bool = True  # pad candidate-edge batches in add_factors
+                                # to power-of-2 buckets so the symmetric
+                                # decode+match program compiles per bucket,
+                                # not per candidate count
     Q_conf: float = 1.5
     min_match_frac: float = 0.1
     matcher: str = "iter_proj"  # "iter_proj" (reference parity) or "dense"
@@ -133,6 +148,10 @@ class FactorGraph:
         self.K = K
 
         E, P = cfg.edge_capacity, keyframes.X.shape[1]
+        self.capacity = E           # grows by doubling; see ensure_capacity
+        self.edges_dropped = 0      # only ever non-zero with a hard
+                                    # max_edge_capacity (metrics-visible —
+                                    # no silent drops)
         self.n_edges = 0
         self.ii = jnp.zeros((E,), jnp.int32)
         self.jj = jnp.zeros((E,), jnp.int32)
@@ -140,14 +159,51 @@ class FactorGraph:
         self.valid_match = jnp.zeros((E, P), bool)
         self.Q = jnp.zeros((E, P), jnp.float32)
 
+    def ensure_capacity(self, n_edges: int) -> bool:
+        """Grow the edge buffers (doubling) until they hold ``n_edges``.
+
+        Returns False if a configured ``max_edge_capacity`` prevents it.
+        Growth replaces the reference's unbounded torch.cat edge growth
+        (global_opt.py:89-96); the BA solvers are bucketed (``_buckets``) so
+        a grow only adds one compile per new power-of-two bucket actually
+        reached.
+        """
+        mx = self.cfg.max_edge_capacity
+        while self.capacity < n_edges:
+            new_cap = self.capacity * 2
+            if mx and new_cap > mx:
+                return False
+            grow = lambda a: jnp.concatenate(
+                [a, jnp.zeros_like(a)], axis=0)
+            self.ii = grow(self.ii)
+            self.jj = grow(self.jj)
+            self.idx_ii2jj = grow(self.idx_ii2jj)
+            self.valid_match = grow(self.valid_match)
+            self.Q = grow(self.Q)
+            self.capacity = new_cap
+        return True
+
     # -- edge construction ---------------------------------------------------
 
     def add_factors(self, ii, jj, min_match_frac, is_reloc=False):
         """Propose edges (i, j); returns True if any edge was accepted."""
         if not ii:
             return False
+        nb = len(ii)
         ii_arr = np.asarray(ii, dtype=np.int32)
         jj_arr = np.asarray(jj, dtype=np.int32)
+        if self.cfg.pad_edge_batch:
+            # pad the candidate batch to a power-of-2 bucket (repeat the
+            # last pair; results sliced off below) so the decode+match
+            # program compiles once per bucket instead of once per count
+            bb = 1
+            while bb < nb:
+                bb *= 2
+            if bb > nb:
+                pad = np.full(bb - nb, ii_arr[-1], np.int32)
+                ii_arr = np.concatenate([ii_arr, pad])
+                jj_arr = np.concatenate(
+                    [jj_arr, np.full(bb - nb, jj_arr[-1], np.int32)])
         feat_i = self.frames.feat[ii_arr]
         feat_j = self.frames.feat[jj_arr]
         pos_i = self.frames.pos[ii_arr]
@@ -159,6 +215,10 @@ class FactorGraph:
                                    self.model_mod)
 
         b, P = m["idx_i2j"].shape
+        if b > nb:   # drop the bucket padding
+            m = {k: v[:nb] for k, v in m.items()}
+            ii_arr, jj_arr = ii_arr[:nb], jj_arr[:nb]
+            b = nb
         # paired desc-confidences (global_opt.py:55-58)
         Qj = jnp.sqrt(
             jnp.take_along_axis(m["Qii"], m["idx_i2j"], axis=1) * m["Qji"]
@@ -182,9 +242,13 @@ class FactorGraph:
 
         added = False
         for k in np.nonzero(keep)[0]:
-            if self.n_edges + 2 > self.cfg.edge_capacity:
-                print("FactorGraph: edge buffer full "
-                      f"({self.cfg.edge_capacity}); dropping new edges")
+            if not self.ensure_capacity(self.n_edges + 2):
+                dropped = int(np.count_nonzero(keep)) - int(k)
+                self.edges_dropped += 2 * dropped
+                print("FactorGraph: max_edge_capacity "
+                      f"{self.cfg.max_edge_capacity} reached; dropping "
+                      f"{2 * dropped} edges "
+                      f"(total dropped {self.edges_dropped})")
                 break
             # two-way storage: (i -> j) and (j -> i) as separate edges,
             # replacing prep_two_way_edges (global_opt.py:104-110)
@@ -199,7 +263,7 @@ class FactorGraph:
 
     def _append_edge(self, i, j, idx, valid, Q):
         e = self.n_edges
-        assert e < self.cfg.edge_capacity, "edge buffer full"
+        assert e < self.capacity, "edge buffer full"
         # donated (in-place when safe) row writes: eager .at[].set would copy
         # the whole (E_cap, P) buffers per append
         sr = self.frames._set_row
@@ -212,7 +276,7 @@ class FactorGraph:
 
     @property
     def edge_mask(self):
-        return (jnp.arange(self.cfg.edge_capacity) < self.n_edges).astype(
+        return (jnp.arange(self.capacity) < self.n_edges).astype(
             jnp.float32
         )
 
@@ -232,14 +296,16 @@ class FactorGraph:
         capacity) makes a typical small solve ~capacity/E_active times
         cheaper while compiling each bucket only once.
         """
-        def bucket(n, cap, floor=8):
+        def bucket(n, cap, floor):
             b = floor
             while b < n:
                 b *= 2
             return min(b, cap)
 
-        Eb = bucket(self.n_edges, self.cfg.edge_capacity)
-        Kb = bucket(len(self.frames), self.frames.capacity)
+        Eb = bucket(self.n_edges, self.capacity,
+                    self.cfg.edge_bucket_floor)
+        Kb = bucket(len(self.frames), self.frames.capacity,
+                    self.cfg.kf_bucket_floor)
         return Eb, Kb
 
     def _adopt_poses(self, T, Kb):

@@ -292,8 +292,12 @@ def _track_window_body(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
 
         ok = (stats[3] < 0.5) & (stats[4] < 0.5)
         active = ~halted
-        new_kf = active & ok & (jnp.minimum(stats[1], stats[2])
-                                < tcfg.match_frac_thresh)
+        if tcfg.kf_every:   # fixed-cadence mode (bench/regression)
+            want_kf = (frame_ids[t] % tcfg.kf_every) == 0
+        else:
+            want_kf = (jnp.minimum(stats[1], stats[2])
+                       < tcfg.match_frac_thresh)
+        new_kf = active & ok & want_kf
 
         # commit the frame's effect on the current keyframe (body already
         # gates the fusion by ok; gate the whole frame by active)
@@ -455,7 +459,10 @@ class TrackerRunner:
         kfs.N_updates = sr(kfs.N_updates, last, kf_NU)
         kfs.score = sr(kfs.score, last, kf_score)
 
-        new_kf = min(st[1], st[2]) < self.tcfg.match_frac_thresh
+        if self.tcfg.kf_every:
+            new_kf = frame.frame_id % self.tcfg.kf_every == 0
+        else:
+            new_kf = min(st[1], st[2]) < self.tcfg.match_frac_thresh
         if new_kf:
             self.reset_idx()
         return bool(new_kf), False
@@ -525,7 +532,10 @@ class TrackerRunner:
         self.keyframes.set_frame(len(self.keyframes) - 1, kf)
 
         # keyframe decision (tracker.py:104-110)
-        new_kf = min(match_frac_k, unique_frac) < tcfg.match_frac_thresh
+        if tcfg.kf_every:
+            new_kf = frame.frame_id % tcfg.kf_every == 0
+        else:
+            new_kf = min(match_frac_k, unique_frac) < tcfg.match_frac_thresh
         if new_kf:
             self.reset_idx()
         return new_kf, False
@@ -707,6 +717,7 @@ class SLAMSystem:
                                  new_kf=bool(new_kf), reloc=bool(try_reloc),
                                  n_kf=len(self.keyframes),
                                  n_edges=self.factor_graph.n_edges,
+                                 edges_dropped=self.factor_graph.edges_dropped,
                                  **self.tracker.last_stats)
             if self.debug_checks:
                 self.check_invariants()
@@ -810,6 +821,7 @@ class SLAMSystem:
                                  new_kf=bool(new_kf), reloc=bool(skipped),
                                  n_kf=len(kfs),
                                  n_edges=self.factor_graph.n_edges,
+                                 edges_dropped=self.factor_graph.edges_dropped,
                                  **tr.last_stats)
             consumed += 1
             if skipped:
@@ -841,8 +853,7 @@ class SLAMSystem:
         reference's lock-discipline-by-convention with explicit validation)."""
         kf = self.keyframes
         assert 0 <= kf.n_size <= kf.capacity
-        assert 0 <= self.factor_graph.n_edges <= \
-            self.factor_graph.cfg.edge_capacity
+        assert 0 <= self.factor_graph.n_edges <= self.factor_graph.capacity
         n = kf.n_size
         if n:
             T = np.asarray(kf.T_WC[:n])

@@ -236,3 +236,108 @@ def test_adj_inv_matrix_equals_map():
     y1 = ba_mod._apply_adj_inv_T_t(T, J)
     y2 = jnp.einsum("eij,erjc->eric", ba_mod._adj_inv_matrix(T), J)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_fp32_solver_matches_fp64_at_scale():
+    """K=512 loop-chain graph: the production equilibrated-fp32 Cholesky
+    tracks the fp64 host solve (the Eigen-precision debug fallback,
+    BAConfig.solver='fp64_host') — validating the reference's fp64 CPU
+    solve replacement (gn_kernels.cu:57-159) at full keyframe capacity
+    with long loop chains, where fp32 normal equations are most fragile."""
+    key = jax.random.PRNGKey(11)
+    n_kf, P = 512, 32
+    kw, kp = jax.random.split(key)
+    pts_w = jax.random.normal(kp, (P, 3)) * jnp.array([1.0, 1.0, 0.5]) + \
+        jnp.array([0.0, 0.0, 4.0])
+    T_list = [sim3.identity()]
+    for i in range(1, n_kf):
+        xi = 0.02 * jax.random.normal(jax.random.fold_in(kw, i), (7,))
+        T_list.append(sim3.mul(T_list[-1], sim3.exp(xi)))
+    T_true = jnp.stack(T_list)
+    Xs = jax.vmap(lambda T: sim3.act(sim3.inv(T), pts_w))(T_true)
+    Cs = jnp.full((n_kf, P), 5.0)
+
+    # consecutive chain + sparse long-range loop closures
+    loops = [(i, i + 64) for i in range(0, n_kf - 64, 64)] + [(0, n_kf - 1)]
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=loops)
+
+    noise = 0.03 * jax.random.normal(jax.random.fold_in(key, 7), (n_kf, 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+
+    results = {}
+    for solver in ("fp32", "fp64_host"):
+        cfg = ba.BAConfig(max_iters=6, point_chunk=P, solver=solver)
+        T_opt = ba.gauss_newton_rays(T_init, Xs, Cs, ii, jj, idx, valid, Q,
+                                     mask, jnp.asarray(n_kf), cfg)
+        err = jax.vmap(lambda a, b: sim3.log(sim3.mul(sim3.inv(a), b)))(
+            T_true, T_opt)
+        results[solver] = (np.asarray(T_opt), float(jnp.abs(err).max()))
+
+    # both reach ground truth, and the fp32 solution is within a small
+    # multiple of the fp64 one (the stated bound)
+    assert results["fp64_host"][1] < 2e-3, results["fp64_host"][1]
+    assert results["fp32"][1] < 2e-3, results["fp32"][1]
+    diff = np.abs(results["fp32"][0] - results["fp64_host"][0]).max()
+    assert diff < 1e-3, diff
+
+
+def test_factor_graph_edge_growth():
+    """Edge buffers double past the initial capacity with no drops
+    (reference edges grow unboundedly, global_opt.py:89-96), and the solve
+    still recovers poses at the grown size. A hard max_edge_capacity caps
+    growth and counts drops."""
+    from mast3r_slam_tpu.slam.factor_graph import (FactorGraph,
+                                                   FactorGraphConfig,
+                                                   MatchingConfig)
+    from mast3r_slam_tpu.slam.frame import KeyframeStore
+
+    key = jax.random.PRNGKey(12)
+    n_kf, P = 9, 128
+    T_true, Xs = _make_world(key, n_kf, P)
+    extra = [(i, j) for i in range(n_kf) for j in range(i + 2, n_kf)]
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=extra)
+    E = int(ii.shape[0])
+
+    noise = 0.04 * jax.random.normal(jax.random.fold_in(key, 5), (n_kf, 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+
+    kfs = KeyframeStore(16, P, 4, 8, (8, 16), donate=False)
+    kfs.n_size = n_kf
+    kfs.T_WC = kfs.T_WC.at[:n_kf].set(T_init)
+    kfs.X = kfs.X.at[:n_kf].set(Xs)
+    kfs.C = kfs.C.at[:n_kf].set(5.0)
+    kfs.N = kfs.N.at[:n_kf].set(1)
+
+    fg = FactorGraph(None, None, kfs, FactorGraphConfig(edge_capacity=8),
+                     ba.BAConfig(max_iters=10, point_chunk=P),
+                     MatchingConfig())
+    assert fg.capacity == 8
+    for e in range(E):     # same grow-then-append path add_factors takes
+        assert fg.ensure_capacity(fg.n_edges + 1)
+        fg._append_edge(int(ii[e]), int(jj[e]), idx[e], valid[e], Q[e])
+    assert fg.n_edges == E and fg.capacity >= E
+    assert fg.capacity == 8 * 2 ** int(np.ceil(np.log2(E / 8)))
+    assert fg.edges_dropped == 0
+    assert fg.edge_mask.shape[0] == fg.capacity
+    assert float(fg.edge_mask.sum()) == E
+
+    fg.solve_GN_rays()
+    err = jax.vmap(lambda a, b: sim3.log(sim3.mul(sim3.inv(a), b)))(
+        T_true, fg.frames.T_WC[:n_kf])
+    assert float(jnp.abs(err).max()) < 1e-3
+
+    # hard cap: growth refused, drops counted
+    fg2 = FactorGraph(None, None, kfs,
+                      FactorGraphConfig(edge_capacity=8,
+                                        max_edge_capacity=16),
+                      ba.BAConfig(max_iters=2, point_chunk=P),
+                      MatchingConfig())
+    for e in range(E):
+        if not fg2.ensure_capacity(fg2.n_edges + 1):
+            fg2.edges_dropped += 1
+            continue
+        fg2._append_edge(int(ii[e]), int(jj[e]), idx[e], valid[e], Q[e])
+    assert fg2.capacity == 16 and fg2.n_edges == 16
+    assert fg2.edges_dropped == E - 16
