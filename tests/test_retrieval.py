@@ -70,3 +70,29 @@ def test_native_hamming_matches_numpy():
         packed64.ctypes.data_as(ctypes.c_void_p), 16, 96,
         out.ctypes.data_as(ctypes.c_void_p))
     np.testing.assert_allclose(out, nh_np, atol=1e-6)
+
+
+def test_vectorized_aggregation_matches_reference_loop():
+    """The scatter-add aggregation equals the reference's per-unique-word
+    loop (kernel.py:26-39 semantics incl. once-per-feature dedup when the
+    same word appears in several ma columns)."""
+    rng = np.random.default_rng(3)
+    n, dim, ma, n_words = 50, 16, 5, 24
+    des = rng.standard_normal((n, dim)).astype(np.float32)
+    centroids = rng.standard_normal((n_words, dim)).astype(np.float32)
+    # force duplicate columns in some rows
+    words = rng.integers(0, n_words, size=(n, ma))
+    words[:10, 1] = words[:10, 0]
+    words[5:15, 4] = words[5:15, 2]
+
+    ades, ids = retrieval.aggregate_residuals(des, words, centroids)
+
+    # reference loop (the round-1 implementation)
+    ref_ids = np.unique(words)
+    ref = np.empty((ref_ids.shape[0], dim), dtype=np.float32)
+    for i, word in enumerate(ref_ids):
+        sel = (words == word).any(axis=1)
+        ref[i] = (des[sel] - centroids[word]).sum(0)
+
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_allclose(ades, ref, atol=1e-4)
