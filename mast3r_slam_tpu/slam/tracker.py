@@ -39,6 +39,9 @@ class TrackerConfig(NamedTuple):
     huber: float = 1.345
     min_match_frac: float = 0.05
     match_frac_thresh: float = 0.333
+    kf_every: int = 0   # > 0: FORCE a keyframe every N frames instead of
+                        # the match-fraction decision — fixed-cadence mode
+                        # for benchmarking/regression (bench.py e2e)
     sigma_ray: float = 0.003
     sigma_dist: float = 10.0
     sigma_pixel: float = 1.0
