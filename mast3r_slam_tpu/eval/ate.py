@@ -113,7 +113,12 @@ def rpe(gt_file, traj_file, delta: int = 1, max_diff: float = 0.02):
     ``evo_rpe``/the TUM tooling). Returns dict with translational RMSE
     (trans_rmse, meters per delta) and rotational RMSE (rot_rmse_deg).
     Alignment-free: relative motions cancel the global frame (scale is NOT
-    normalized — use ATE's Sim3 alignment for monocular scale)."""
+    normalized — use ATE's Sim3 alignment for monocular scale).
+
+    UNIT NOTE: ``delta`` counts associated POSES (for SLAM output:
+    keyframes), not seconds or meters — evo's ``--delta ... --delta_unit
+    s|m`` numbers are NOT directly comparable; use this RPE for in-tree
+    regression and ATE RMSE for cross-paper comparison."""
     ts_gt, t_gt, q_gt = load_tum_trajectory(gt_file)
     ts_est, t_est, q_est = load_tum_trajectory(traj_file)
     ia, ib = associate(ts_gt, ts_est, max_diff)
