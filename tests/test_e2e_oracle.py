@@ -189,3 +189,41 @@ def test_crash_resume_trajectory_equivalence(tmp_path):
     np.testing.assert_allclose(
         np.asarray(sys_a.keyframes.X[:na]),
         np.asarray(sys_c.keyframes.X[:nc]), atol=1e-5)
+
+
+def test_tpu_fast_matcher_settings_no_major_regression():
+    """The tpu_fast preset's matcher shortcuts (pyramidal-only LM
+    max_iter=0 + coarse_iter=4, radius 2, dilation 1) must stay within a
+    small factor of the reference-parity matcher settings on the oracle
+    e2e regression — the automated version of the DEVELOPMENT.md sweep
+    (0.0165 vs 0.0162 rel-ATE) that gates the preset."""
+    n_frames = 10
+    h, w = CFG.img_size
+    traj = _gt_trajectory(n_frames)
+    params = oracle.make_params(traj, desc_dim=CFG.desc_dim)
+
+    def run(matching_overrides):
+        cfg = dict(config_mod.default_config())
+        cfg["tracking"] = dict(cfg["tracking"])
+        cfg["tracking"]["match_frac_thresh"] = 0.95
+        cfg["matching"] = dict(cfg["matching"], **matching_overrides)
+        system = SLAMSystem(params, CFG, cfg, (h, w), keyframe_capacity=16,
+                            edge_capacity=64, model_module=oracle)
+        for i in range(n_frames):
+            frame = system.make_frame(i, oracle.make_frame_image(i, h, w))
+            system.process_frame(frame)
+            while system.backend_step():
+                pass
+        n = len(system.keyframes)
+        ids = np.asarray(system.keyframes.dataset_idx[:n])
+        T_est = np.asarray(system.keyframes.T_WC[:n])
+        T_gt = np.asarray(traj)[ids]
+        s, R, t = ate.umeyama_alignment(T_est[:, :3], T_gt[:, :3])
+        aligned = (s * (R @ T_est[:, :3].T)).T + t
+        return float(np.sqrt((np.linalg.norm(aligned - T_gt[:, :3], axis=1)
+                              ** 2).mean()))
+
+    rmse_ref = run({})   # base.yaml reference-parity settings
+    rmse_fast = run({"max_iter": 0, "coarse_iter": 4, "radius": 2,
+                     "dilation_max": 1})
+    assert rmse_fast <= 1.15 * rmse_ref + 1e-6, (rmse_ref, rmse_fast)
