@@ -111,6 +111,8 @@ def make_ba_config(cfg: dict, point_chunk: int = 8192) -> BAConfig:
         sigma_pixel=float(o["sigma_pixel"]), sigma_depth=float(o["sigma_depth"]),
         delta_norm=float(o["delta_norm"]), pixel_border=int(o["pixel_border"]),
         depth_eps=float(o["depth_eps"]), point_chunk=point_chunk,
+        solver=str(o.get("solver", "fp32")),
+        point_stride=int(o.get("point_stride", 1)),
     )
 
 

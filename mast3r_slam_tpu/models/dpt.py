@@ -97,15 +97,27 @@ def dpt_forward(p, hook_tokens, grid, dt=jnp.float32):
     return conv2d(h["conv3"], x.astype(jnp.float32))
 
 
+# Exponent ceiling for the 'exp' activations. The reference leaves them
+# unclamped (postprocess.py:43-44, :49-56) — safe with trained weights whose
+# head outputs stay small, but an untrained/degenerate network can emit
+# |xyz| in the hundreds, exp overflows fp32 at ~88, and a single inf
+# pointmap poisons the tracker's normal equations (non-finite Cholesky ->
+# permanent RELOC; the round-2 bench pathology). exp(20) ~ 4.9e8 metric
+# units is far beyond any physical scene, so the clamp is exactly a no-op
+# for real checkpoints while keeping the whole pipeline finite for any
+# weights.
+_EXP_CLAMP = 20.0
+
+
 def reg_dense_pts3d(xyz):
     """'exp' depth mode: unit direction * expm1(|xyz|) (postprocess.py:25-45)."""
     d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
-    return xyz / jnp.maximum(d, 1e-8) * jnp.expm1(d)
+    return xyz / jnp.maximum(d, 1e-8) * jnp.expm1(jnp.minimum(d, _EXP_CLAMP))
 
 
 def reg_dense_conf(x, vmin: float = 1.0):
     """'exp' conf mode with vmax=inf (postprocess.py:49-56)."""
-    return vmin + jnp.exp(x)
+    return vmin + jnp.exp(jnp.minimum(x, _EXP_CLAMP))
 
 
 def head_forward(p, hook_tokens, grid, patch_size: int, desc_dim: int = 24,

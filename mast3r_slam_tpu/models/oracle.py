@@ -105,8 +105,15 @@ def encode(params, img, cfg: MASt3RConfig):
     from .mast3r import normalize_frames
 
     img = normalize_frames(img)   # encode contract: uint8 ingest works
-    b = img.shape[0]
     fid = jnp.round(img[:, 0, 0, 0] * 1024.0).astype(jnp.int32)
+    return encode_fid(params, fid, cfg)
+
+
+def encode_fid(params, fid, cfg: MASt3RConfig):
+    """Oracle features for frame ids ``fid`` (b,) — the encode body, split
+    out so alternative frame-id protocols (models.oracle_timing's uint8
+    two-byte pixel encoding) can reuse it."""
+    b = fid.shape[0]
     T = params["traj"][fid]
 
     h, w = cfg.img_size

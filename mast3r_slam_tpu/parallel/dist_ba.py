@@ -42,7 +42,7 @@ def shard_keyframe_store(mesh: Mesh, Xs, Cs, axis: str = "edge"):
 
 
 def prep_edges_kf_sharded(mesh: Mesh, Xs_sh, Cs_sh, ii, jj, idx, valid_match,
-                          axis: str = "edge"):
+                          axis: str = "edge", stride: int = 1):
     """Cross-shard endpoint gather: keyframe-sharded maps -> edge-sharded
     per-edge data (Xi, Ci, Xj, Cj, safe_idx).
 
@@ -54,7 +54,8 @@ def prep_edges_kf_sharded(mesh: Mesh, Xs_sh, Cs_sh, ii, jj, idx, valid_match,
     from ..slam import ba
 
     out_sh = NamedSharding(mesh, P(axis))
-    f = jax.jit(ba._edge_prep, out_shardings=(out_sh,) * 5)
+    f = jax.jit(partial(ba._edge_prep, stride=stride),
+                out_shardings=(out_sh,) * 5)
     return f(Xs_sh, Cs_sh, ii, jj, idx, valid_match)
 
 
@@ -168,7 +169,8 @@ def gauss_newton_dist(T_WCs, Xs, Cs, K_mat, ii, jj, idx_ii2jj, valid_match,
     )
     def run(T0, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l):
         # loop-invariant gathered points, hoisted out of the GN loop
-        pre = ba._edge_prep(Xs, Cs, ii_l, jj_l, idx_l, vm_l)
+        pre = ba._edge_prep(Xs, Cs, ii_l, jj_l, idx_l, vm_l,
+                            stride=cfg.point_stride)
 
         def body(state):
             T, it, done = state

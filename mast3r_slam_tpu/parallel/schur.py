@@ -233,7 +233,8 @@ def gauss_newton_schur(T_WCs, Xs, Cs, K_mat, owner, int_slot, sep_slot,
     )
     def run(T0, ii_l, jj_l, idx_l, vm_l, Q_l, mask_l):
         p = jax.lax.axis_index(axis)
-        pre = ba._edge_prep(Xs, Cs, ii_l, jj_l, idx_l, vm_l)
+        pre = ba._edge_prep(Xs, Cs, ii_l, jj_l, idx_l, vm_l,
+                            stride=cfg.point_stride)
         safe_idx_l = pre[4]
 
         kf_ids = jnp.arange(K_cap)

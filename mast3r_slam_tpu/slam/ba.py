@@ -58,6 +58,15 @@ class BAConfig(NamedTuple):
                            # a host callback — the debugging fallback that
                            # reproduces the reference's Eigen fp64 CPU solve
                            # (gn_kernels.cu:57-159) bit-for-bit in precision
+    point_stride: int = 1  # use every s-th measurement pixel per edge in
+                           # the Hessian accumulation. The CUDA kernel
+                           # integrates all h*w matched points
+                           # (gn_kernels.cu:913-961) but the normal
+                           # equations are a massively redundant sum of
+                           # ~196k rank-4 terms per edge; a stride-s
+                           # subsample keeps the estimate (oracle e2e
+                           # rel-ATE regression-gated) at ~1/s the BA
+                           # device time. 1 = reference parity.
 
 
 def _gather_points(Xs, Cs, ii, idx):
@@ -72,7 +81,7 @@ def _gather_points(Xs, Cs, ii, idx):
     K, P, _ = Xs.shape
     XC = jnp.concatenate([Xs, Cs[..., None]], axis=-1).reshape(K * P, 4)
     flat_idx = (ii[:, None] * P + idx).reshape(-1)
-    g = jnp.take(XC, flat_idx, axis=0).reshape(idx.shape[0], P, 4)
+    g = jnp.take(XC, flat_idx, axis=0).reshape(*idx.shape, 4)
     return g[..., 0:3], g[..., 3]
 
 
@@ -206,14 +215,18 @@ def _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
     point axis. ``pre`` carries the loop-invariant gathered points
     (from _edge_prep) so the while_loop body stays gather-free.
     """
-    E, P = idx.shape
     Ti = T_WCs[ii]
     Tj = T_WCs[jj]
     Tij = sim3.rel(Ti, Tj)
 
     if pre is None:
-        pre = _edge_prep(Xs, Cs, ii, jj, idx, valid_match)
+        pre = _edge_prep(Xs, Cs, ii, jj, idx, valid_match,
+                         stride=cfg.point_stride)
     Xi_all, Ci_all, Xj_all, Cj_all, safe_idx_all = pre
+    if cfg.point_stride > 1:   # pre is already strided; match the gates
+        valid_match = valid_match[:, ::cfg.point_stride]
+        Q = Q[:, ::cfg.point_stride]
+    E, P = safe_idx_all.shape
 
     C = min(cfg.point_chunk, P)
     n_chunks = -(-P // C)
@@ -285,11 +298,23 @@ def _edge_terms(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
     return H, g
 
 
-def _edge_prep(Xs, Cs, ii, jj, idx, valid_match):
-    """Loop-invariant per-edge data: gathered matched points + confs."""
+def _edge_prep(Xs, Cs, ii, jj, idx, valid_match, stride: int = 1):
+    """Loop-invariant per-edge data: gathered matched points + confs.
+
+    ``stride`` > 1 subsamples the measurement pixels (the j-side point axis;
+    see BAConfig.point_stride) — the i-side gather indices stay full-map
+    indices. Callers that pass a prebuilt ``pre`` into ``_edge_terms*`` must
+    build it with stride == cfg.point_stride.
+    """
+    if stride > 1:
+        idx = idx[:, ::stride]
+        valid_match = valid_match[:, ::stride]
+        Xs_j, Cs_j = Xs[:, ::stride], Cs[:, ::stride]
+    else:
+        Xs_j, Cs_j = Xs, Cs
     safe_idx = jnp.where(valid_match, idx, 0)
     Xi, Ci = _gather_points(Xs, Cs, ii, safe_idx)
-    return (Xi, Ci, Xs[jj], Cs[jj], safe_idx)
+    return (Xi, Ci, Xs_j[jj], Cs_j[jj], safe_idx)
 
 
 def _edge_terms_rays(T_WCs, Xs, Cs, ii, jj, idx, valid_match, Q, edge_mask,
@@ -478,7 +503,8 @@ def gauss_newton_rays(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     Returns updated (K_cap, 8) poses.
     """
     K_cap = T_WCs.shape[0]
-    pre = _edge_prep(Xs, Cs, ii, jj, idx_ii2jj, valid_match)
+    pre = _edge_prep(Xs, Cs, ii, jj, idx_ii2jj, valid_match,
+                     stride=cfg.point_stride)
 
     def body(state):
         T, it, done = state
@@ -507,7 +533,8 @@ def gauss_newton_points(T_WCs, Xs, Cs, ii, jj, idx_ii2jj, valid_match, Q,
     """Global GN on 3D point-difference residuals (spec:
     gauss_newton_points_cuda, gn_kernels.cu:725-811)."""
     K_cap = T_WCs.shape[0]
-    pre = _edge_prep(Xs, Cs, ii, jj, idx_ii2jj, valid_match)
+    pre = _edge_prep(Xs, Cs, ii, jj, idx_ii2jj, valid_match,
+                     stride=cfg.point_stride)
 
     def body(state):
         T, it, done = state
@@ -539,7 +566,8 @@ def gauss_newton_calib(T_WCs, Xs, Cs, K_mat, ii, jj, idx_ii2jj, valid_match,
     (geometry.constrain_points_to_ray), as in global_opt.py:168-170.
     """
     K_cap = T_WCs.shape[0]
-    pre = _edge_prep(Xs, Cs, ii, jj, idx_ii2jj, valid_match)
+    pre = _edge_prep(Xs, Cs, ii, jj, idx_ii2jj, valid_match,
+                     stride=cfg.point_stride)
 
     def body(state):
         T, it, done = state

@@ -639,8 +639,21 @@ class SLAMSystem:
         self.state_lock = threading.Lock()
         self.reloc_pending = False
         self.current_frame: Optional[Frame] = None
+        # reloc_failed / frames_reloc make a relocalization storm (every
+        # frame paying mono-init + retrieval + strict decode, forever)
+        # visible in the stats/metrics stream instead of only on stderr —
+        # the reference's failure path is print-only (main.py:62-66)
         self.stats = {"skipped": 0, "keyframes": 0, "loop_closures": 0,
-                      "relocs": 0}
+                      "relocs": 0, "reloc_failed": 0, "reinits": 0,
+                      "frames_tracking": 0, "frames_reloc": 0,
+                      "frames_init": 0}
+        self._reloc_fail_streak = 0
+        # escape hatch (beyond the reference, which loops RELOC forever,
+        # main.py:28-71): after N consecutive failed relocalization
+        # attempts, re-initialize tracking from the current frame's mono
+        # pointmap as a fresh keyframe. 0 = reference-faithful (never).
+        self.reinit_after = int(config.get("reloc", {}).get("reinit_after",
+                                                            0))
         self.metrics = metrics
         self.debug_checks = debug_checks
 
@@ -690,6 +703,7 @@ class SLAMSystem:
     def process_frame(self, frame: Frame):
         """One frontend step; returns the (possibly updated) mode."""
         if self.mode == Mode.INIT:
+            self.stats["frames_init"] += 1
             X, C = _mono_init(self.params, self.model_cfg, frame.feat[None],
                               frame.pos[None], self.downsample,
                               self.model_mod)
@@ -703,6 +717,7 @@ class SLAMSystem:
             return self.mode
 
         if self.mode == Mode.TRACKING:
+            self.stats["frames_tracking"] += 1
             new_kf, try_reloc = self.tracker.track(frame)
             if try_reloc:
                 self.mode = Mode.RELOC
@@ -724,6 +739,7 @@ class SLAMSystem:
             return self.mode
 
         if self.mode == Mode.RELOC:
+            self.stats["frames_reloc"] += 1
             X, C = _mono_init(self.params, self.model_cfg, frame.feat[None],
                               frame.pos[None], self.downsample,
                               self.model_mod)
@@ -824,6 +840,7 @@ class SLAMSystem:
                                  edges_dropped=self.factor_graph.edges_dropped,
                                  **tr.last_stats)
             consumed += 1
+            self.stats["frames_tracking"] += 1
             if skipped:
                 which = "Skipped" if hs[t, 3] > 0.5 else "Cholesky failed"
                 print(f"{which} frame {ids[t]}")
@@ -881,6 +898,17 @@ class SLAMSystem:
             if success:
                 self.mode = Mode.TRACKING
                 self.stats["relocs"] += 1
+                self._reloc_fail_streak = 0
+            else:
+                self.stats["reloc_failed"] += 1
+                self._reloc_fail_streak += 1
+                if self.metrics is not None:
+                    self.metrics.log(event="reloc_failed",
+                                     frame=self.current_frame.frame_id,
+                                     streak=self._reloc_fail_streak)
+                if self.reinit_after and (self._reloc_fail_streak
+                                          >= self.reinit_after):
+                    self._reinit_from_current()
             return True
 
         if not self.backend_queue:
@@ -916,6 +944,29 @@ class SLAMSystem:
 
         self.backend_queue.pop(0)
         return True
+
+    def _reinit_from_current(self):
+        """Escape hatch for an unrecoverable relocalization storm: restart
+        tracking from the current frame's mono pointmap as a fresh keyframe
+        (a new disconnected trajectory segment; its pose keeps the last
+        tracked value). The reference has no equivalent — it relocalizes
+        forever (main.py:28-71) — so this is OFF unless
+        ``reloc.reinit_after`` > 0."""
+        frame = self.current_frame
+        print(f"Re-initializing from frame {frame.frame_id} after "
+              f"{self._reloc_fail_streak} failed relocalizations")
+        self._reloc_fail_streak = 0
+        self.stats["reinits"] += 1
+        # the RELOC branch of process_frame already gave the frame its mono
+        # pointmap (update_pointmap with N=0)
+        self.keyframes.append(frame)
+        self.stats["keyframes"] += 1
+        self.backend_queue.append(len(self.keyframes) - 1)
+        self.tracker.reset_idx()
+        self.mode = Mode.TRACKING
+        if self.metrics is not None:
+            self.metrics.log(event="reinit", frame=frame.frame_id,
+                             n_kf=len(self.keyframes))
 
     def _relocalize(self, frame: Frame):
         """Spec: relocalization() (main.py:28-71)."""

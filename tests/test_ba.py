@@ -282,6 +282,47 @@ def test_fp32_solver_matches_fp64_at_scale():
     assert diff < 1e-3, diff
 
 
+def test_point_stride_subsample_matches_full():
+    """BAConfig.point_stride (use every s-th measurement pixel in the
+    Hessian accumulation — the ~1/s BA cost lever behind the tpu_fast
+    preset) must recover the same poses as the full integration: the
+    normal equations are a redundant sum of ~P rank-4 terms."""
+    key = jax.random.PRNGKey(21)
+    n_kf, P = 5, 512
+    T_true, Xs = _make_world(key, n_kf, P)
+    Cs = jnp.full((n_kf, P), 5.0)
+    ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=[(0, n_kf - 1)])
+    # non-uniform validity so the stride interacts with masking
+    valid = valid & (jax.random.uniform(jax.random.fold_in(key, 2),
+                                        valid.shape) > 0.2)
+
+    noise = 0.05 * jax.random.normal(jax.random.fold_in(key, 7), (n_kf, 7))
+    noise = noise.at[0].set(0.0)
+    T_init = jax.vmap(sim3.retr)(T_true, noise)
+
+    T_by_stride = {}
+    for stride in (1, 4):
+        cfg = ba.BAConfig(max_iters=20, point_chunk=256, point_stride=stride)
+        T_by_stride[stride] = ba.gauss_newton_rays(
+            T_init, Xs, Cs, ii, jj, idx, valid, Q, mask,
+            jnp.asarray(n_kf), cfg)
+
+    for stride, T_opt in T_by_stride.items():
+        err = jax.vmap(lambda a, b: sim3.log(sim3.mul(sim3.inv(a), b)))(
+            T_true, T_opt)
+        assert float(jnp.abs(err).max()) < 1e-3, (stride, np.asarray(err))
+    # calib variant smoke at stride 2 (odd P slicing path)
+    cfg = ba.BAConfig(max_iters=5, point_chunk=128, point_stride=2)
+    h, w = 16, 32
+    K_mat = jnp.array([[40.0, 0.0, 16.0], [0.0, 40.0, 8.0], [0.0, 0.0, 1.0]])
+    Xs_c = Xs[:, : h * w]
+    T_c = ba.gauss_newton_calib(T_init, Xs_c, Cs[:, : h * w], K_mat, ii, jj,
+                                idx[:, : h * w] % (h * w),
+                                valid[:, : h * w], Q[:, : h * w], mask,
+                                jnp.asarray(n_kf), (h, w), cfg)
+    assert np.all(np.isfinite(np.asarray(T_c)))
+
+
 def test_factor_graph_edge_growth():
     """Edge buffers double past the initial capacity with no drops
     (reference edges grow unboundedly, global_opt.py:89-96), and the solve

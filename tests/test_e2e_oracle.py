@@ -227,3 +227,39 @@ def test_tpu_fast_matcher_settings_no_major_regression():
     rmse_fast = run({"max_iter": 0, "coarse_iter": 4, "radius": 2,
                      "dilation_max": 1})
     assert rmse_fast <= 1.15 * rmse_ref + 1e-6, (rmse_ref, rmse_fast)
+
+
+def test_ba_point_stride_no_major_regression():
+    """local_opt.point_stride=4 (the tpu_fast BA cost lever: ~1/4 the
+    Hessian-accumulation device time) must stay within a small factor of
+    the full-integration e2e trajectory on the oracle regression."""
+    n_frames = 10
+    h, w = CFG.img_size
+    traj = _gt_trajectory(n_frames)
+    params = oracle.make_params(traj, desc_dim=CFG.desc_dim)
+
+    def run(point_stride):
+        cfg = dict(config_mod.default_config())
+        cfg["tracking"] = dict(cfg["tracking"])
+        cfg["tracking"]["match_frac_thresh"] = 0.95
+        cfg["local_opt"] = dict(cfg["local_opt"],
+                                point_stride=point_stride)
+        system = SLAMSystem(params, CFG, cfg, (h, w), keyframe_capacity=16,
+                            edge_capacity=64, model_module=oracle)
+        for i in range(n_frames):
+            frame = system.make_frame(i, oracle.make_frame_image(i, h, w))
+            system.process_frame(frame)
+            while system.backend_step():
+                pass
+        n = len(system.keyframes)
+        ids = np.asarray(system.keyframes.dataset_idx[:n])
+        T_est = np.asarray(system.keyframes.T_WC[:n])
+        T_gt = np.asarray(traj)[ids]
+        s, R, t = ate.umeyama_alignment(T_est[:, :3], T_gt[:, :3])
+        aligned = (s * (R @ T_est[:, :3].T)).T + t
+        return float(np.sqrt((np.linalg.norm(aligned - T_gt[:, :3], axis=1)
+                              ** 2).mean()))
+
+    rmse_full = run(1)
+    rmse_sub = run(4)
+    assert rmse_sub <= 1.15 * rmse_full + 1e-6, (rmse_full, rmse_sub)
