@@ -112,6 +112,49 @@ def build_unfolded_windows(img, d: int, r: int):
     return jnp.concatenate(rows, axis=-1)
 
 
+def _window_scores_flat(wnd_flat, Dq32, kk: int, c: int):
+    """Descriptor scores (n, kk) from flat window rows (n, kk*c) WITHOUT
+    materializing a (n, kk, c) intermediate: minor dims below the (8, 128)
+    TPU tile pad up to 8.5x in HBM — a reshaped bf16 (n, 5, 5, 24) window
+    tensor cost 15 GB (of 1.76 GB payload) and OOMed the batch-8 edge
+    decode (round-3 find). Static c-wide slices of the flat rows fuse into
+    one pass over the gather output instead.
+
+    Products are bit-identical to the einsum formulation (bf16/int8 values
+    are exact in fp32); only the fp32 accumulation order differs.
+    """
+    cols = [jnp.sum(wnd_flat[:, j * c:(j + 1) * c].astype(jnp.float32)
+                    * Dq32, axis=-1)
+            for j in range(kk)]
+    return jnp.stack(cols, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("d", "r"))
+def build_unfolded_windows_patches(img, d: int, r: int):
+    """``build_unfolded_windows`` via ``lax.conv_general_dilated_patches``
+    (im2col through the conv lowering) instead of 25 concatenated padded
+    slices — a build-cost experiment: the slice-concat build moves the
+    whole (2r+1)^2-inflated table through HBM at well below roofline
+    (~5 ms of the matcher's 14.4; DEVELOPMENT.md speed-of-light table),
+    and the conv path gives XLA one fused window-extraction op instead.
+
+    Same output values/layout as ``build_unfolded_windows`` up to the
+    FEATURE ORDER: patches emits channel-major (c, i, j) feature blocks
+    (channel slowest), slice-concat emits (i, j, c). Consumers that
+    contract the whole window row (the refine einsum) only need the
+    matching reshape; ``gather_dilated_windows_full`` takes a
+    ``channel_major`` flag.
+    """
+    P = build_phase_decimation(img, d, r)          # (d, d, H, W, c)
+    dd, _, H, W, c = P.shape
+    k = 2 * r + 1
+    x = P.reshape(dd * dd, H, W, c)
+    pat = jax.lax.conv_general_dilated_patches(
+        x, filter_shape=(k, k), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return pat.reshape(dd, dd, H - 2 * r, W - 2 * r, k * k * c)
+
+
 @partial(jax.jit, static_argnames=("d", "r"))
 def gather_dilated_windows_full(U2, u0, v0, d: int, r: int):
     """Window fetch via ONE row gather per point on the full-window unfold.
@@ -137,22 +180,25 @@ def refine_matches_full_unfold(D11, D21, p1, radius: int = 3,
     """Drop-in replacement for ops.matching.refine_matches using ONE row
     gather per point per level (identical results)."""
     b, h, w, f = D11.shape
-    cdt = jnp.promote_types(D11.dtype, D21.dtype)
     k = 2 * radius + 1
 
     def one_image(Dimg, Dq, u0, v0):
+        Dq32 = Dq.astype(jnp.float32)
         for d in range(dilation_max, 0, -1):
             U2 = build_unfolded_windows(Dimg, d, radius)
-            wnd = gather_dilated_windows_full(U2, u0, v0, d, radius)
+            kkc = U2.shape[-1]
+            flat = U2.reshape(-1, kkc)
+            pv, pu, vs, us = v0 % d, u0 % d, v0 // d, u0 // d
+            Hc, Wc = U2.shape[2], U2.shape[3]
+            rowidx = ((pv * d + pu) * Hc + vs) * Wc + us
+            wnd = jnp.take(flat, rowidx, axis=0)       # (n, kk*c) flat
             offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * d
             uu = u0[:, None, None] + offs[None, None, :]
             vv = v0[:, None, None] + offs[None, :, None]
             inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-            scores = jnp.einsum("nijf,nf->nij", wnd.astype(cdt),
-                                Dq.astype(cdt),
-                                preferred_element_type=jnp.float32)
-            scores = jnp.where(inside, scores, -jnp.inf)
-            best = jnp.argmax(scores.reshape(-1, k * k), axis=-1)
+            scores = _window_scores_flat(wnd, Dq32, k * k, f)
+            scores = jnp.where(inside.reshape(-1, k * k), scores, -jnp.inf)
+            best = jnp.argmax(scores, axis=-1)
             bi = best // k
             bj = best % k
             u0 = jnp.clip(u0 + (bj - radius) * d, 0, w - 1)
@@ -170,22 +216,33 @@ def refine_matches_unfold(D11, D21, p1, radius: int = 3,
     """Drop-in replacement for ops.matching.refine_matches with k row
     gathers per point per level instead of k^2 (identical results)."""
     b, h, w, f = D11.shape
-    cdt = jnp.promote_types(D11.dtype, D21.dtype)
     k = 2 * radius + 1
 
     def one_image(Dimg, Dq, u0, v0):
+        Dq32 = Dq.astype(jnp.float32)
         for d in range(dilation_max, 0, -1):
             U = build_unfolded_phases(Dimg, d, radius)
-            wnd = gather_dilated_windows_unfold(U, u0, v0, d, radius)
+            dd, _, H, Wu, kc = U.shape
+            flat = U.reshape(-1, kc)
+            pv, pu, vs, us = v0 % d, u0 % d, v0 // d, u0 // d
+            base = ((pv * d + pu) * H + vs) * Wu + us
             offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * d
-            uu = u0[:, None, None] + offs[None, None, :]
-            vv = v0[:, None, None] + offs[None, :, None]
-            inside = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
-            scores = jnp.einsum("nijf,nf->nij", wnd.astype(cdt),
-                                Dq.astype(cdt),
-                                preferred_element_type=jnp.float32)
-            scores = jnp.where(inside, scores, -jnp.inf)
-            best = jnp.argmax(scores.reshape(-1, k * k), axis=-1)
+            uu = u0[:, None] + offs[None, :]
+            in_u = (uu >= 0) & (uu < w)
+            # one u-unfolded row gather per window row, consumed
+            # immediately (no (n, k, k, c) materialization: minor dims
+            # under the (8, 128) tile pad up to 8.5x — see
+            # _window_scores_flat)
+            score_rows = []
+            for i in range(k):
+                row = jnp.take(flat, base + i * Wu, axis=0)  # (n, k*c)
+                s = _window_scores_flat(row, Dq32, k, f)     # (n, k)
+                vv = v0 + (i - radius) * d
+                in_v = (vv >= 0) & (vv < h)
+                score_rows.append(
+                    jnp.where(in_u & in_v[:, None], s, -jnp.inf))
+            scores = jnp.concatenate(score_rows, axis=-1)    # (n, k*k)
+            best = jnp.argmax(scores, axis=-1)
             bi = best // k
             bj = best % k
             u0 = jnp.clip(u0 + (bj - radius) * d, 0, w - 1)
@@ -240,34 +297,43 @@ def refine_and_gather_full_unfold(D11, D21, p1, payload, radius: int = 3,
     img = jnp.concatenate([Du, _f32_to_u16(payload)], axis=-1)
 
     def one_image(Iimg, Dq, u0, v0):
-        Dqb = Dq.astype(jnp.bfloat16)
+        Dq32 = Dq.astype(jnp.bfloat16).astype(jnp.float32)
         pay_c = None
         pay_m = None
+        cw = f + 2 * p                       # row stride per candidate
         for li, d in enumerate(range(dilation_max, 0, -1)):
             U2 = build_unfolded_windows(Iimg, d, radius)
-            wnd = gather_dilated_windows_full(U2, u0, v0, d, radius)
-            wnd = wnd.reshape(-1, k * k, f + 2 * p)
-            desc = jax.lax.bitcast_convert_type(wnd[..., :f], jnp.bfloat16)
+            flat = U2.reshape(-1, U2.shape[-1])
+            pv, pu, vs, us = v0 % d, u0 % d, v0 // d, u0 // d
+            Hc, Wc = U2.shape[2], U2.shape[3]
+            rowidx = ((pv * d + pu) * Hc + vs) * Wc + us
+            wnd = jnp.take(flat, rowidx, axis=0)   # (n, kk*cw) flat uint16
+            # per-candidate static slices of the flat rows — never
+            # materializes a (n, kk, cw) tensor (minor dims under the
+            # (8, 128) tile pad up to 8.5x; see _window_scores_flat)
             offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * d
             uu = u0[:, None, None] + offs[None, None, :]   # (n, 1, k) fast
             vv = v0[:, None, None] + offs[None, :, None]   # (n, k, 1) slow
             inside = ((uu >= 0) & (uu < w) & (vv >= 0)
                       & (vv < h)).reshape(-1, k * k)
-            scores = jnp.einsum("nkf,nf->nk", desc, Dqb,
-                                preferred_element_type=jnp.float32)
-            scores = jnp.where(inside, scores, -jnp.inf)
+            cols = []
+            for j in range(k * k):
+                dsl = jax.lax.bitcast_convert_type(
+                    wnd[:, j * cw:j * cw + f], jnp.bfloat16)
+                cols.append(jnp.sum(dsl.astype(jnp.float32) * Dq32, -1))
+            scores = jnp.where(inside, jnp.stack(cols, -1), -jnp.inf)
             best = jnp.argmax(scores, axis=-1)
             if li == 0:
                 # first window's center == p1 (the gate position)
-                pay_c = _u16_to_f32(wnd[:, (k * k) // 2, f:])
+                c0 = (k * k) // 2
+                pay_c = _u16_to_f32(wnd[:, c0 * cw + f:(c0 + 1) * cw])
             # winner pickup WITHOUT a gather: one-hot masked sum over the
             # kk candidates (per-row take_along_axis scalarizes on this
             # backend — DEVELOPMENT.md gather notes)
-            pay_all = _u16_to_f32(wnd[..., f:])           # (n, kk, p)
-            onehot = (best[:, None] ==
-                      jnp.arange(k * k, dtype=best.dtype)[None, :])
-            pay_m = jnp.sum(jnp.where(onehot[..., None], pay_all, 0.0),
-                            axis=1)
+            pay_m = 0.0
+            for j in range(k * k):
+                pj = _u16_to_f32(wnd[:, j * cw + f:(j + 1) * cw])
+                pay_m = pay_m + jnp.where((best == j)[:, None], pj, 0.0)
             bi = best.astype(jnp.int32) // k
             bj = best.astype(jnp.int32) % k
             u0 = jnp.clip(u0 + (bj - radius) * d, 0, w - 1)
@@ -279,7 +345,7 @@ def refine_and_gather_full_unfold(D11, D21, p1, payload, radius: int = 3,
     return jnp.stack([u0, v0], axis=-1), pay_c, pay_m
 
 
-def _axis_pass(Dimg, Dq, u0, v0, d: int, radius: int, cdt):
+def _axis_pass(Dimg, Dq, u0, v0, d: int, radius: int):
     """One separable search pass: argmax of the descriptor score over the
     2r+1 dilation-``d`` candidates along u at fixed v. ONE row gather per
     point (the center row of the u-unfolded window). Returns refined u0."""
@@ -290,11 +356,10 @@ def _axis_pass(Dimg, Dq, u0, v0, d: int, radius: int, cdt):
     flat = U.reshape(-1, kc)
     pv, pu, vs, us = v0 % d, u0 % d, v0 // d, u0 // d
     base = ((pv * d + pu) * H + vs) * Wu + us + radius * Wu
-    row = jnp.take(flat, base, axis=0).reshape(-1, k, f)
+    row = jnp.take(flat, base, axis=0)                   # (n, k*f) flat
     offs = jnp.arange(-radius, radius + 1, dtype=jnp.int32) * d
     uu = u0[:, None] + offs[None, :]
-    s = jnp.einsum("nkf,nf->nk", row.astype(cdt), Dq.astype(cdt),
-                   preferred_element_type=jnp.float32)
+    s = _window_scores_flat(row, Dq.astype(jnp.float32), k, f)
     s = jnp.where((uu >= 0) & (uu < w), s, -jnp.inf)
     best = jnp.argmax(s, axis=-1).astype(jnp.int32)
     return jnp.clip(u0 + (best - radius) * d, 0, w - 1)
@@ -310,13 +375,11 @@ def refine_matches_separable(D11, D21, p1, radius: int = 3,
     along axes, which holds for the peaked descriptor correlations the
     matcher sees — validated end-to-end on the oracle ATE regression)."""
     b, h, w, f = D11.shape
-    cdt = jnp.promote_types(D11.dtype, D21.dtype)
-
     def one_image(Dimg, Dq, u0, v0):
         Dt = jnp.swapaxes(Dimg, 0, 1)   # (w, h, f): u<->v swapped
         for d in range(dilation_max, 0, -1):
-            u0 = _axis_pass(Dimg, Dq, u0, v0, d, radius, cdt)
-            v0 = _axis_pass(Dt, Dq, v0, u0, d, radius, cdt)
+            u0 = _axis_pass(Dimg, Dq, u0, v0, d, radius)
+            v0 = _axis_pass(Dt, Dq, v0, u0, d, radius)
         return u0, v0
 
     outs = jax.vmap(one_image)(D11, D21, p1[..., 0].astype(jnp.int32),

@@ -141,3 +141,21 @@ def test_match_payload_mode_equals_plain():
                                       np.asarray(want_X))
         np.testing.assert_array_equal(np.asarray(pm[..., 3:]),
                                       np.asarray(want_p))
+
+
+def test_patches_build_matches_slice_concat():
+    """build_unfolded_windows_patches (conv im2col lowering) must hold the
+    same window values as build_unfolded_windows, in channel-major (c,i,j)
+    feature order (the refine consumer only re-indexes its einsum)."""
+    key = jax.random.PRNGKey(11)
+    h, w, c = 18, 22, 6
+    img = jax.random.normal(key, (h, w, c), jnp.float32)
+    for d, r in [(1, 2), (2, 1), (3, 3)]:
+        a = np.asarray(window_gather.build_unfolded_windows(img, d, r))
+        b = np.asarray(window_gather.build_unfolded_windows_patches(
+            img, d, r))
+        assert a.shape == b.shape
+        k = 2 * r + 1
+        bt = b.reshape(b.shape[:4] + (c, k, k)).transpose(
+            0, 1, 2, 3, 5, 6, 4).reshape(a.shape)
+        np.testing.assert_array_equal(a, bt)
