@@ -122,11 +122,14 @@ def _window_scores_flat(wnd_flat, Dq32, kk: int, c: int):
 
     Products are bit-identical to the einsum formulation (bf16/int8 values
     are exact in fp32); only the fp32 accumulation order differs.
+
+    ONE fused pass: tiled multiply + grouped lane reduction, so the gather
+    output is read once (a per-candidate slice-reduce variant read it kk
+    times and measured ~1.3 FPS slower end-to-end).
     """
-    cols = [jnp.sum(wnd_flat[:, j * c:(j + 1) * c].astype(jnp.float32)
-                    * Dq32, axis=-1)
-            for j in range(kk)]
-    return jnp.stack(cols, axis=-1)
+    n = wnd_flat.shape[0]
+    prod = wnd_flat.astype(jnp.float32) * jnp.tile(Dq32, (1, kk))
+    return prod.reshape(n, kk, c).sum(axis=-1)
 
 
 @partial(jax.jit, static_argnames=("d", "r"))

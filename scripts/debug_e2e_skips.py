@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Instrumented single warm-pass of the e2e bench: logs per-frame match
+stats (metrics JSONL) to localize the 512x384 oracle tracking skips the
+round-3 bench health gate caught (8/49 frames skipped, each recovered by
+reloc). CPU-repro first; falls back to the real chip when run without
+JAX_PLATFORMS=cpu.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/debug_e2e_skips.py \
+      [--h 384 --w 512] [--frames 49] [--window 8] [--oracle-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+class _Metrics:
+    """Collect AND stream events (so a timeout still leaves partial data)."""
+
+    def __init__(self):
+        self.rows = []
+
+    def log(self, **kw):
+        self.rows.append(kw)
+        print("EV", json.dumps(kw), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=384)
+    ap.add_argument("--w", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=49)
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--kf-every", type=int, default=4)
+    ap.add_argument("--oracle-only", action="store_true",
+                    help="pure oracle module (skip the real network ride-"
+                         "along; much faster compiles)")
+    ap.add_argument("--no-probes", action="store_true",
+                    help="skip the per-window/per-backend-step finiteness "
+                         "probes (each forces a device sync, serializing "
+                         "the backend/frontend overlap — run without to "
+                         "test async/donation interleaving)")
+    ap.add_argument("--codebook", type=int, default=4096)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.extend.backend.clear_backends()
+        except Exception:
+            pass
+
+    import numpy as np
+    import jax
+
+    import bench
+    from mast3r_slam_tpu import config as config_mod
+    from mast3r_slam_tpu.models import (MASt3RConfig, init_params, oracle,
+                                        oracle_timing)
+    from mast3r_slam_tpu.slam import retrieval as retrieval_mod
+    from mast3r_slam_tpu.slam.system import SLAMSystem
+
+    h, w, W = args.h, args.w, args.window
+    n_frames = args.frames
+    print(f"platform={jax.devices()[0].platform} {h}x{w} W={W} "
+          f"n={n_frames}", file=sys.stderr, flush=True)
+
+    model_cfg = MASt3RConfig(img_size=(h, w), dtype="bfloat16",
+                             head_dtype="bfloat16")
+    cfg = config_mod.load_config(REPO / "configs" / "tpu_fast.yaml")
+    cfg["single_thread"] = True
+    cfg["tracking"] = dict(cfg["tracking"], kf_every=args.kf_every)
+    cfg["runtime"] = dict(cfg.get("runtime", {}), tracking_window=W,
+                          edge_bucket_floor=64, kf_bucket_floor=8,
+                          max_edge_capacity=128)
+
+    traj = bench._make_traj(n_frames, 0.0)
+    oparams = oracle.make_params(traj, desc_dim=model_cfg.desc_dim)
+    if args.oracle_only:
+        params, model_mod = oparams, oracle
+        frames = [oracle.make_frame_image(i, h, w) for i in range(n_frames)]
+    else:
+        net_params = init_params(jax.random.PRNGKey(0), model_cfg)
+        params = oracle_timing.make_params(net_params, oparams)
+        model_mod = oracle_timing
+        rng = np.random.default_rng(1234)
+        frames = [oracle_timing.make_frame_image(i, h, w, rng)
+                  for i in range(n_frames)]
+
+    rparams = retrieval_mod.init_retrieval_params(
+        jax.random.PRNGKey(1), backbone_dim=model_cfg.enc_embed_dim,
+        codebook_size=args.codebook)
+
+    metrics = _Metrics()
+    system = SLAMSystem(params, model_cfg, cfg, (h, w),
+                        retrieval_params=rparams, keyframe_capacity=32,
+                        edge_capacity=128, metrics=metrics,
+                        model_module=model_mod)
+
+    # finiteness probes around every backend step and window consume: the
+    # TPU failure mode is a non-finite tracker Cholesky from frame 34 on —
+    # find WHICH state array goes bad, and WHEN
+    def check(tag):
+        n = len(system.keyframes)
+        kf = system.keyframes
+        for name, arr in [("T_WC", kf.T_WC[:n]), ("X", kf.X[:n]),
+                          ("C", kf.C[:n]), ("score", kf.score[:n]),
+                          ("feat", kf.feat[:n])]:
+            a = np.asarray(arr)
+            if not np.all(np.isfinite(a)):
+                bad = np.argwhere(~np.isfinite(a).reshape(a.shape[0], -1)
+                                  .all(axis=1)).ravel().tolist()
+                print(f"NONFINITE {tag} {name} rows={bad}", flush=True)
+
+    orig_bs = system.backend_step
+    orig_cw = system.consume_window
+
+    def bs():
+        r = orig_bs()
+        if r:
+            check("after_backend")
+        return r
+
+    def cw(pending):
+        r = orig_cw(pending)
+        check(f"after_window(consumed={r})")
+        return r
+
+    if not args.no_probes:
+        system.backend_step = bs
+        system.consume_window = cw
+    system.run(bench._ArrayDataset(frames, img_size=max(h, w)))
+
+    print(json.dumps({"stats": system.stats,
+                      "edges": system.factor_graph.n_edges}))
+    for r in metrics.rows:
+        if r.get("event") == "track":
+            flag = " <-- SKIP" if r.get("reloc") else (
+                " [kf]" if r.get("new_kf") else "")
+            print(f"f{r['frame']:3d} mf={r.get('match_frac', -1):.3f} "
+                  f"mfk={r.get('match_frac_k', -1):.3f} "
+                  f"uf={r.get('unique_frac', -1):.3f} nkf={r['n_kf']}"
+                  f"{flag}")
+        else:
+            print(r)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,3 +19,20 @@ import jax  # noqa: E402
 # env var alone cannot win, so re-override through jax.config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The XLA CPU compiler segfaults deterministically deep into a single-
+    process run of the full suite (~120 compiled programs in; the same
+    compile succeeds in a fresh process, and disabling the persistent
+    compilation cache does not help) — an upstream jitted-code-state
+    crash, not a test bug. Dropping the executable caches per module keeps
+    the process state small at the cost of some fixture recompiles.
+    """
+    yield
+    jax.clear_caches()
