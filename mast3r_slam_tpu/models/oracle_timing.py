@@ -71,14 +71,30 @@ def _fid_from_image(img):
 
 def _total(*reals):
     """A runtime scalar depending on EVERY real-network output (so none of
-    the network is dead code)."""
-    return sum(jnp.sum(r.astype(jnp.float32)) for r in reals)
+    the network is dead code).
+
+    Each element is NaN-sanitized and folded through ``abs`` BEFORE the
+    sum, so ``total`` is either finite or +inf but never NaN — a RANDOM
+    network (what the bench runs) can emit NaNs (round-3 find: tracking
+    collapsed from frame 34 of the e2e warm pass because ``_carry``
+    faithfully forwarded a NaN total into the oracle geometry, failing
+    the tracker's Cholesky), and the benchmark's contract is that the
+    oracle outputs are returned EXACTLY regardless of what the network
+    produces. XLA cannot fold the isnan gate in ``_carry`` away because
+    proving "a sum of where-sanitized values is never NaN" (inf - inf)
+    is beyond its static analysis, so the network stays live."""
+    def s(r):
+        r32 = r.astype(jnp.float32)
+        return jnp.sum(jnp.abs(jnp.where(jnp.isnan(r32), 0.0, r32)))
+
+    return sum(s(r) for r in reals)
 
 
 def _carry(orc, total):
     """Return ``orc`` exactly, with a data dependency on ``total``: the
-    added term is 0.0 unless the network emitted a NaN (it cannot, after
-    the postprocess clamp), and XLA cannot fold a runtime isnan away."""
+    added term is 0.0 for every value ``_total`` can produce (finite or
+    +inf; never NaN by construction), and XLA cannot fold a runtime
+    isnan away."""
     z = jnp.where(jnp.isnan(total), total, 0.0).astype(orc.dtype)
     return orc + z
 
