@@ -101,6 +101,49 @@ def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
     }
 
 
+@jax.jit
+def _gate_edges(m, Q_conf):
+    """Paired desc-confidences + bidirectional match fractions in ONE
+    dispatch (global_opt.py:55-77 math). The eager formulation cost ~6
+    relay round-trips per keyframe (~40 ms dispatch floor each,
+    DEVELOPMENT.md quirk 5) — the backend step is dispatch-floor-bound
+    through the tunnel, not device-bound (round-3 e2e finding)."""
+    Qj = jnp.sqrt(
+        jnp.take_along_axis(m["Qii"], m["idx_i2j"], axis=1) * m["Qji"])
+    Qi = jnp.sqrt(
+        jnp.take_along_axis(m["Qjj"], m["idx_j2i"], axis=1) * m["Qij"])
+    valid_j = m["valid_match_j"][..., 0] & (Qj > Q_conf)
+    valid_i = m["valid_match_i"][..., 0] & (Qi > Q_conf)
+    return Qj, Qi, valid_j.mean(axis=1), valid_i.mean(axis=1)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+def _append_pairs(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf, e0, keep_idx,
+                  ii_arr, jj_arr, idx_i2j, idx_j2i, vmj, vmi, Qj, Qi):
+    """Scatter 2*k two-way edges (i->j then j->i per kept pair, matching
+    the per-pair append order) into the edge buffers in ONE dispatch.
+    The previous per-edge row writes cost 5 dispatches per edge — 20-40
+    relay round-trips per keyframe."""
+    k = keep_idx.shape[0]
+    ii_k = jnp.take(ii_arr, keep_idx)
+    jj_k = jnp.take(jj_arr, keep_idx)
+    fwd = jnp.stack([ii_k, jj_k], 1).reshape(-1)      # (2k,) i->j, j->i
+    bwd = jnp.stack([jj_k, ii_k], 1).reshape(-1)
+    P = idx_i2j.shape[1]
+
+    def pairs(a, b):
+        return jnp.stack([jnp.take(a, keep_idx, axis=0),
+                          jnp.take(b, keep_idx, axis=0)],
+                         axis=1).reshape(2 * k, P)
+
+    rows = e0 + jnp.arange(2 * k, dtype=jnp.int32)
+    return (ii_buf.at[rows].set(fwd),
+            jj_buf.at[rows].set(bwd),
+            idx_buf.at[rows].set(pairs(idx_i2j, idx_j2i)),
+            vm_buf.at[rows].set(pairs(vmj, vmi)),
+            Q_buf.at[rows].set(pairs(Qj, Qi)))
+
+
 class MatchingConfig(NamedTuple):
     max_iter: int = 10
     lambda_init: float = 1e-8
@@ -219,47 +262,46 @@ class FactorGraph:
             m = {k: v[:nb] for k, v in m.items()}
             ii_arr, jj_arr = ii_arr[:nb], jj_arr[:nb]
             b = nb
-        # paired desc-confidences (global_opt.py:55-58)
-        Qj = jnp.sqrt(
-            jnp.take_along_axis(m["Qii"], m["idx_i2j"], axis=1) * m["Qji"]
-        )
-        Qi = jnp.sqrt(
-            jnp.take_along_axis(m["Qjj"], m["idx_j2i"], axis=1) * m["Qij"]
-        )
-        valid_j = m["valid_match_j"][..., 0] & (Qj > self.cfg.Q_conf)
-        valid_i = m["valid_match_i"][..., 0] & (Qi > self.cfg.Q_conf)
-        frac_j = np.asarray(valid_j.mean(axis=1))
-        frac_i = np.asarray(valid_i.mean(axis=1))
+        # paired desc-confidences + bidirectional fractions
+        # (global_opt.py:55-77) — one dispatch, one small readback
+        Qj, Qi, frac_j, frac_i = _gate_edges(m, self.cfg.Q_conf)
+        frac_j = np.asarray(frac_j)
+        frac_i = np.asarray(frac_i)
 
         invalid = np.minimum(frac_j, frac_i) < min_match_frac
         consecutive = ii_arr == (jj_arr - 1)
         invalid = (~consecutive) & invalid
         if invalid.any() and is_reloc:
             return False
-        keep = ~invalid
-        if not keep.any():
+        keep = np.nonzero(~invalid)[0]
+        if keep.size == 0:
             return False
 
-        added = False
-        for k in np.nonzero(keep)[0]:
-            if not self.ensure_capacity(self.n_edges + 2):
-                dropped = int(np.count_nonzero(keep)) - int(k)
-                self.edges_dropped += 2 * dropped
-                print("FactorGraph: max_edge_capacity "
-                      f"{self.cfg.max_edge_capacity} reached; dropping "
-                      f"{2 * dropped} edges "
-                      f"(total dropped {self.edges_dropped})")
-                break
-            # two-way storage: (i -> j) and (j -> i) as separate edges,
-            # replacing prep_two_way_edges (global_opt.py:104-110)
-            self._append_edge(int(ii_arr[k]), int(jj_arr[k]),
-                              m["idx_i2j"][k], m["valid_match_j"][k, :, 0],
-                              Qj[k])
-            self._append_edge(int(jj_arr[k]), int(ii_arr[k]),
-                              m["idx_j2i"][k], m["valid_match_i"][k, :, 0],
-                              Qi[k])
-            added = True
-        return added
+        if not self.ensure_capacity(self.n_edges + 2 * keep.size):
+            # capacity-capped: keep the prefix that fits, count the rest
+            fits = max((self.capacity - self.n_edges) // 2, 0)
+            dropped = keep.size - fits
+            self.edges_dropped += 2 * dropped
+            print("FactorGraph: max_edge_capacity "
+                  f"{self.cfg.max_edge_capacity} reached; dropping "
+                  f"{2 * dropped} edges "
+                  f"(total dropped {self.edges_dropped})")
+            keep = keep[:fits]
+            if keep.size == 0:
+                return False
+        # two-way storage: (i -> j) and (j -> i) per kept pair, replacing
+        # prep_two_way_edges (global_opt.py:104-110) — ONE batched scatter
+        (self.ii, self.jj, self.idx_ii2jj, self.valid_match,
+         self.Q) = _append_pairs(
+            self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
+            jnp.asarray(self.n_edges, jnp.int32),
+            jnp.asarray(keep, jnp.int32),
+            jnp.asarray(ii_arr), jnp.asarray(jj_arr),
+            m["idx_i2j"], m["idx_j2i"],
+            m["valid_match_j"][..., 0], m["valid_match_i"][..., 0],
+            Qj, Qi)
+        self.n_edges += 2 * keep.size
+        return True
 
     def _append_edge(self, i, j, idx, valid, Q):
         e = self.n_edges
