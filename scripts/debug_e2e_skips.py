@@ -121,6 +121,19 @@ def main():
                 bad = np.argwhere(~np.isfinite(a).reshape(a.shape[0], -1)
                                   .all(axis=1)).ravel().tolist()
                 print(f"NONFINITE {tag} {name} rows={bad}", flush=True)
+        # correctness, not just finiteness: per-keyframe pose error vs the
+        # known oracle trajectory (finite-but-wrong BA output would pass
+        # the isfinite probes and still wreck the next window's T_init)
+        if n >= 2:
+            ids = np.asarray(kf.dataset_idx[:n])
+            T_est = np.asarray(kf.T_WC[:n])
+            T_gt = np.asarray(traj)[ids]
+            terr = np.linalg.norm(T_est[:, :3] - T_gt[:, :3], axis=1)
+            qerr = 1.0 - np.abs(np.sum(T_est[:, 3:7] * T_gt[:, 3:7],
+                                       axis=1))
+            print(f"POSE {tag} max_terr={terr.max():.4f} "
+                  f"max_qerr={qerr.max():.5f} argmax={int(terr.argmax())}",
+                  flush=True)
 
     orig_bs = system.backend_step
     orig_cw = system.consume_window
