@@ -48,6 +48,8 @@ def main():
                          "the backend/frontend overlap — run without to "
                          "test async/donation interleaving)")
     ap.add_argument("--codebook", type=int, default=4096)
+    ap.add_argument("--stage-timers", action="store_true",
+                    help="wall-clock per backend stage (device-synced)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -152,6 +154,30 @@ def main():
     if not args.no_probes:
         system.backend_step = bs
         system.consume_window = cw
+
+    if args.stage_timers:
+        # wall-clock per backend stage, each ended with a device sync so
+        # the time lands on the stage that queued it (first stage also
+        # absorbs the in-flight window's device time)
+        import time as _t
+
+        from mast3r_slam_tpu.utils.timing import device_sync
+
+        def timed(name, fn, sync_of=None):
+            def wrapper(*a, **k):
+                t0 = _t.time()
+                r = fn(*a, **k)
+                device_sync(sync_of() if sync_of else None)
+                print(f"STAGE {name} {_t.time() - t0:.3f}s", flush=True)
+                return r
+            return wrapper
+
+        system.retrieval.update = timed("retrieval", system.retrieval.update)
+        fg = system.factor_graph
+        fg.add_factors = timed("add_factors", fg.add_factors,
+                               sync_of=lambda: fg.Q)
+        fg.solve_GN_rays = timed("ba_solve", fg.solve_GN_rays,
+                                 sync_of=lambda: system.keyframes.T_WC)
     system.run(bench._ArrayDataset(frames, img_size=max(h, w)))
 
     print(json.dumps({"stats": system.stats,
