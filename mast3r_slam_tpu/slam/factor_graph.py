@@ -102,6 +102,14 @@ def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
 
 
 @jax.jit
+def _gather_pair_feats(feat, pos, ii, jj):
+    """Candidate-pair feature/pos rows in ONE dispatch (four eager fancy
+    indexes cost four ~40 ms relay round-trips per keyframe)."""
+    return (jnp.take(feat, ii, axis=0), jnp.take(feat, jj, axis=0),
+            jnp.take(pos, ii, axis=0), jnp.take(pos, jj, axis=0))
+
+
+@jax.jit
 def _gate_edges(m, Q_conf):
     """Paired desc-confidences + bidirectional match fractions in ONE
     dispatch (global_opt.py:55-77 math). The eager formulation cost ~6
@@ -247,10 +255,9 @@ class FactorGraph:
                 ii_arr = np.concatenate([ii_arr, pad])
                 jj_arr = np.concatenate(
                     [jj_arr, np.full(bb - nb, jj_arr[-1], np.int32)])
-        feat_i = self.frames.feat[ii_arr]
-        feat_j = self.frames.feat[jj_arr]
-        pos_i = self.frames.pos[ii_arr]
-        pos_j = self.frames.pos[jj_arr]
+        feat_i, feat_j, pos_i, pos_j = _gather_pair_feats(
+            self.frames.feat, self.frames.pos, jnp.asarray(ii_arr),
+            jnp.asarray(jj_arr))
 
         m = _match_edges_symmetric(self.params, self.model_cfg, self.mcfg,
                                    feat_i, pos_i, feat_j, pos_j,
