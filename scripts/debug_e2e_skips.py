@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--codebook", type=int, default=4096)
     ap.add_argument("--stage-timers", action="store_true",
                     help="wall-clock per backend stage (device-synced)")
+    ap.add_argument("--edge-matcher", default="",
+                    help="override local_opt.matcher (dense | iter_proj)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -85,6 +87,8 @@ def main():
     cfg["runtime"] = dict(cfg.get("runtime", {}), tracking_window=W,
                           edge_bucket_floor=64, kf_bucket_floor=8,
                           max_edge_capacity=128)
+    if args.edge_matcher:
+        cfg["local_opt"] = dict(cfg["local_opt"], matcher=args.edge_matcher)
 
     traj = bench._make_traj(n_frames, 0.0)
     oparams = oracle.make_params(traj, desc_dim=model_cfg.desc_dim)
