@@ -148,4 +148,17 @@ def make_factor_graph_config(cfg: dict, edge_capacity: int = 256
 
 
 def make_retrieval_config(cfg: dict) -> RetrievalConfig:
-    return RetrievalConfig()
+    """ASMK scoring parameters from the ``retrieval:`` block (alongside the
+    query-time k/min_thresh the system reads directly). Spec: the reference
+    exposes these via asmk_params (thirdparty/mast3r/mast3r/retrieval/
+    processor.py:91-97)."""
+    r = cfg.get("retrieval", {})
+    d = RetrievalConfig()
+    return RetrievalConfig(
+        nfeat=int(r.get("nfeat", d.nfeat)),
+        ma_build=int(r.get("ma_build", d.ma_build)),
+        ma_query=int(r.get("ma_query", d.ma_query)),
+        alpha=float(r.get("alpha", d.alpha)),
+        similarity_threshold=float(r.get("similarity_threshold",
+                                         d.similarity_threshold)),
+    )

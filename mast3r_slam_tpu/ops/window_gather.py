@@ -144,9 +144,11 @@ def build_unfolded_windows_patches(img, d: int, r: int):
     Same output values/layout as ``build_unfolded_windows`` up to the
     FEATURE ORDER: patches emits channel-major (c, i, j) feature blocks
     (channel slowest), slice-concat emits (i, j, c). Consumers that
-    contract the whole window row (the refine einsum) only need the
-    matching reshape; ``gather_dilated_windows_full`` takes a
-    ``channel_major`` flag.
+    contract the whole window row (the refine einsum) only need a
+    matching reshape; anything that interprets window positions must
+    reinterpret each flat row as (c, k, k) — NOT (k, k, c) — e.g.
+    ``gather_dilated_windows_full`` on this table returns rows whose
+    trailing axes are really (c, k, k) despite its (n, k, k, c) shape.
     """
     P = build_phase_decimation(img, d, r)          # (d, d, H, W, c)
     dd, _, H, W, c = P.shape

@@ -10,6 +10,8 @@ per-edge python loop (mast3r_utils.py:83-115).
 
 from __future__ import annotations
 
+import os
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -204,6 +206,10 @@ class FactorGraph:
                                     # max_edge_capacity (metrics-visible —
                                     # no silent drops)
         self.n_edges = 0
+        # FG_STAGE_TIMERS=1: wall-clock each add_factors sub-stage with a
+        # forced device sync (locates time INSIDE the backend whale —
+        # VERDICT r3 weak #1: ~0.6 s/keyframe was unattributed)
+        self._stage_t = ({} if os.environ.get("FG_STAGE_TIMERS") else None)
         self.ii = jnp.zeros((E,), jnp.int32)
         self.jj = jnp.zeros((E,), jnp.int32)
         self.idx_ii2jj = jnp.zeros((E, P), jnp.int32)
@@ -236,10 +242,25 @@ class FactorGraph:
 
     # -- edge construction ---------------------------------------------------
 
+    def _mark(self, name, t0, sync_arr=None):
+        """Stage-timer helper: device-sync then record elapsed; returns a
+        fresh t0. No-op (zero dispatches) unless FG_STAGE_TIMERS=1."""
+        if self._stage_t is None:
+            return 0.0
+        if sync_arr is not None:
+            from ..utils.timing import device_sync
+
+            device_sync(sync_arr)
+        dt = time.perf_counter() - t0
+        self._stage_t[name] = self._stage_t.get(name, 0.0) + dt
+        print(f"FGSTAGE {name} {dt:.3f}s", flush=True)
+        return time.perf_counter()
+
     def add_factors(self, ii, jj, min_match_frac, is_reloc=False):
         """Propose edges (i, j); returns True if any edge was accepted."""
         if not ii:
             return False
+        t0 = time.perf_counter() if self._stage_t is not None else 0.0
         nb = len(ii)
         ii_arr = np.asarray(ii, dtype=np.int32)
         jj_arr = np.asarray(jj, dtype=np.int32)
@@ -258,11 +279,13 @@ class FactorGraph:
         feat_i, feat_j, pos_i, pos_j = _gather_pair_feats(
             self.frames.feat, self.frames.pos, jnp.asarray(ii_arr),
             jnp.asarray(jj_arr))
+        t0 = self._mark("af.gather", t0, feat_i)
 
         m = _match_edges_symmetric(self.params, self.model_cfg, self.mcfg,
                                    feat_i, pos_i, feat_j, pos_j,
                                    self.downsample, self.cfg.matcher,
                                    self.model_mod)
+        t0 = self._mark("af.decode_match", t0, m["idx_i2j"])
 
         b, P = m["idx_i2j"].shape
         if b > nb:   # drop the bucket padding
@@ -274,6 +297,7 @@ class FactorGraph:
         Qj, Qi, frac_j, frac_i = _gate_edges(m, self.cfg.Q_conf)
         frac_j = np.asarray(frac_j)
         frac_i = np.asarray(frac_i)
+        t0 = self._mark("af.gate_readback", t0)
 
         invalid = np.minimum(frac_j, frac_i) < min_match_frac
         consecutive = ii_arr == (jj_arr - 1)
@@ -308,6 +332,7 @@ class FactorGraph:
             m["valid_match_j"][..., 0], m["valid_match_i"][..., 0],
             Qj, Qi)
         self.n_edges += 2 * keep.size
+        self._mark("af.append", t0, self.Q)
         return True
 
     def _append_edge(self, i, j, idx, valid, Q):

@@ -630,7 +630,9 @@ class SLAMSystem:
                                         model_module=model_module,
                                         mesh=mesh)
         self.retrieval = (
-            RetrievalDatabase(retrieval_params) if retrieval_params else None
+            RetrievalDatabase(retrieval_params,
+                              config_mod.make_retrieval_config(config))
+            if retrieval_params else None
         )
         self.mode = Mode.INIT
         self.backend_queue: list = []

@@ -152,7 +152,10 @@ def step_results(families, have_ckpt, report):
         cmd = [sys.executable, "scripts/results_table.py", "--family", fam,
                "--dataset-root", root, "--checkpoint", CKPT, "--out", out]
         if RETR.is_file() and CODEBOOK.is_file():
-            cmd += ["--retrieval-checkpoint", RETR, "--codebook", CODEBOOK]
+            # results_table.py has no retrieval flags of its own; forward
+            # through its --extra-args passthrough to main.py (ADVICE r3)
+            cmd += ["--extra-args",
+                    f"--retrieval-checkpoint {RETR} --codebook {CODEBOOK}"]
         r = run(cmd)
         key = f"results_table[{fam}]"
         if r.returncode != 0:

@@ -150,6 +150,36 @@ def test_ba_config_yaml_wiring():
     assert base.solver == "fp32" and base.point_stride == 1
 
 
+def test_retrieval_config_yaml_wiring():
+    """`retrieval:` block must reach RetrievalDatabase's ASMK scoring
+    params (VERDICT r3 weak #4: make_retrieval_config ignored its input).
+    Spec: reference asmk_params (thirdparty/mast3r/mast3r/retrieval/
+    processor.py:91-97)."""
+    from mast3r_slam_tpu.models import init_params
+    from mast3r_slam_tpu.slam import retrieval as retrieval_mod
+
+    cfg = dict(config_mod.default_config())
+    cfg["retrieval"] = dict(cfg["retrieval"], nfeat=123, ma_build=2,
+                            ma_query=7, alpha=2.0,
+                            similarity_threshold=0.125)
+    rcfg = config_mod.make_retrieval_config(cfg)
+    assert rcfg.nfeat == 123 and rcfg.ma_build == 2 and rcfg.ma_query == 7
+    assert rcfg.alpha == 2.0 and rcfg.similarity_threshold == 0.125
+    # absent keys keep the reference defaults
+    base = config_mod.make_retrieval_config(dict(config_mod.default_config()))
+    assert base == retrieval_mod.RetrievalConfig()
+
+    # and SLAMSystem hands the derived config to the database
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    rparams = retrieval_mod.init_retrieval_params(
+        jax.random.PRNGKey(1), backbone_dim=CFG.enc_embed_dim,
+        proj_dim=32, codebook_size=64)
+    system = SLAMSystem(params, CFG, cfg, CFG.img_size,
+                        retrieval_params=rparams, keyframe_capacity=4,
+                        edge_capacity=8)
+    assert system.retrieval.cfg == rcfg
+
+
 def test_solver_fp64_host_reached_from_config(monkeypatch):
     """`local_opt: {solver: fp64_host}` in YAML must actually route the BA
     solve through the host fp64 callback (VERDICT r2 item 5)."""
