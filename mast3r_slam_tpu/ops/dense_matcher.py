@@ -4,13 +4,17 @@ An alternative to the reference's iterative projective matcher
 (ops/matching.py, spec matching_kernels.cu) that re-thinks matching for the
 MXU instead of translating the gather-heavy CUDA scheme:
 
-1. **Coarse**: full descriptor correlation of every query point against a
-   strided grid of target descriptors — one big (n, f) x (f, nc) matmul,
-   streamed in row tiles with fused argmax (no gathers at all).
-2. **Fine**: one dilated window search around the upsampled coarse match
-   (reusing ops.matching.refine_matches, a single level instead of five).
-3. **Geometric gate**: the same 3D-distance occlusion check as the
-   reference (matching.py:71-76).
+1. **Coarse**: descriptor correlation of a stride-2 query subgrid against a
+   strided grid of target descriptors — one big (n/4, f) x (f, nc) matmul,
+   streamed in row tiles with fused argmax (no gathers at all). This is the
+   global search that replaces a warm start.
+2. **Polish + fine**: the correlation winners seed the SAME pyramidal
+   matcher the tracking path uses (ops.matching.match with coarse_iter
+   subgrid LM + windowed descriptor refine + occlusion gate) — measured at
+   ~14 ms/image on chip vs ~100 ms/image for the round-3 formulation
+   (full-resolution 3-iteration LM + radius-3/dilation-2 refine), which was
+   the e2e backend's whale (round-4 probe_dense_stages: LM 316 ms + refine
+   431 ms of the 780 ms batch-8 edge match).
 
 Intended use: loop-closure / relocalization edges, where there is no
 warm-start and the reference's per-pixel LM starts from the identity map —
@@ -36,6 +40,12 @@ def coarse_correlate(D21, D11, stride: int = 4, row_tile: int = 8192):
     D21: (b, n, f) query descriptors (view2's points); D11: (b, h, w, f)
     target descriptor image. Returns (b, n) int32 full-res linear indices of
     the best coarse cell center.
+
+    The correlation tiles are accumulated in bf16: the (rows, cells) score
+    matrix is the op's entire HBM cost (~n*nc*bytes written + re-read by
+    the argmax), the MXU emits bf16 at full rate, and the winner only needs
+    to be within the fine window's catch radius — ties at bf16 resolution
+    move the seed by one cell at most.
     """
     b, h, w, f = D11.shape
     n = D21.shape[1]
@@ -51,7 +61,7 @@ def coarse_correlate(D21, D11, stride: int = 4, row_tile: int = 8192):
     def tile_argmax(carry, Drow):
         # Drow: (b, row_tile, f)
         corr = jnp.einsum("brf,bkf->brk", Drow, Dc_flat,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.bfloat16)
         return carry, jnp.argmax(corr, axis=-1).astype(jnp.int32)
 
     _, idx_tiles = jax.lax.scan(tile_argmax, None, D21t.transpose(1, 0, 2, 3))
@@ -72,40 +82,41 @@ def match_dense(X11, X21, D11, D21, stride: int = 4, fine_radius: int = 3,
     """Full dense matcher. Same contract as ops.matching.match:
     returns (idx_1_to_2 (b, n) int32, valid (b, n, 1) bool).
 
-    A short LM polish (``lm_iters`` of the projective refinement, warm
-    started from the descriptor match) recovers the sub-pixel geometric
-    alignment the reference gets from its 10-iteration search.
+    The coarse correlation runs on the stride-2 query subgrid only (4x
+    less correlation traffic; the flow field it seeds is smoother than a
+    single coarse cell anyway) and its upsampled flow warm-starts the
+    standard pyramidal matcher (subgrid LM polish + windowed descriptor
+    refine + occlusion gate) — the exact machinery the tracking fast path
+    ships, re-used here with the correlation replacing the previous-frame
+    warm start. Costs ~4x less device time than the round-3 formulation
+    (probe_dense_stages.py) at equal oracle trajectory accuracy
+    (tests/test_e2e_oracle.py gates it).
     """
     b, h, w, _ = X11.shape
     n = h * w
 
-    # 1) coarse descriptor correlation (MXU)
-    idx_c = coarse_correlate(D21.reshape(b, n, -1).astype(jnp.bfloat16),
-                             D11.astype(jnp.bfloat16), stride)
+    # 1) coarse descriptor correlation (MXU) on the stride-2 query subgrid
+    D21q = D21[:, ::2, ::2].reshape(b, n // 4, -1).astype(jnp.bfloat16)
+    idx_c = coarse_correlate(D21q, D11.astype(jnp.bfloat16), stride)
+    # upsampled flow -> full-resolution integer warm start
+    pq = matching.lin_to_pixel(idx_c, w)               # (b, n/4, 2) match pos
+    qpos = jnp.stack(
+        jnp.meshgrid(jnp.arange(0, w, 2), jnp.arange(0, h, 2)),
+        axis=-1).reshape(1, n // 4, 2)                 # query (u, v)
+    flow = (pq - qpos).reshape(b, h // 2, w // 2, 2)
+    flow_up = jnp.repeat(jnp.repeat(flow, 2, axis=1), 2, axis=2)
+    upos = jnp.stack(jnp.meshgrid(jnp.arange(w), jnp.arange(h)),
+                     axis=-1)[None]                    # (1, h, w, 2)
+    p0 = jnp.clip(upos + flow_up,
+                  jnp.zeros((2,), jnp.int32),
+                  jnp.asarray([w - 1, h - 1], jnp.int32))
+    idx_init = matching.pixel_to_lin(p0.reshape(b, n, 2), w)
 
-    # 2) short geometric LM polish from the coarse match
-    rays_grad = matching.prep_rays_grad(X11)
-    pts3d_norm = matching._normalize(X21.reshape(b, n, 3))
-    p_init = matching.lin_to_pixel(idx_c, w).astype(X11.dtype)
-    p1, valid_proj = matching.iter_proj(rays_grad, pts3d_norm, p_init,
-                                        lm_iters, lambda_init,
-                                        convergence_thresh)
-    p1i = p1.astype(jnp.int32)
-
-    # 3) occlusion gate (matching.py:71-76)
-    lin = matching.pixel_to_lin(p1i, w)
-    X11_flat = X11.reshape(b, n, 3)
-    X11_at = jnp.take_along_axis(X11_flat, lin[..., None], axis=1)
-    dists = jnp.linalg.norm(X11_at - X21.reshape(b, n, 3), axis=-1)
-    valid = valid_proj & (dists < dist_thresh)
-
-    # 4) one fine descriptor window pass (unfolded fast path)
-    if fine_radius > 0:
-        from .window_gather import refine_matches_unfold
-
-        p1i = refine_matches_unfold(
-            D11.astype(jnp.bfloat16),
-            D21.reshape(b, n, -1).astype(jnp.bfloat16), p1i,
-            fine_radius, fine_dilation)
-
-    return matching.pixel_to_lin(p1i, w), valid[..., None]
+    # 2) pyramidal LM polish + window refine + occlusion gate — the
+    # tracking matcher, warm-started by the correlation
+    return matching.match(
+        X11, X21, D11, D21, idx_1_to_2_init=idx_init,
+        max_iter=0, coarse_iter=max(int(lm_iters), 1),
+        lambda_init=lambda_init, convergence_thresh=convergence_thresh,
+        dist_thresh=dist_thresh, radius=fine_radius,
+        dilation_max=fine_dilation)

@@ -104,14 +104,6 @@ def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
 
 
 @jax.jit
-def _gather_pair_feats(feat, pos, ii, jj):
-    """Candidate-pair feature/pos rows in ONE dispatch (four eager fancy
-    indexes cost four ~40 ms relay round-trips per keyframe)."""
-    return (jnp.take(feat, ii, axis=0), jnp.take(feat, jj, axis=0),
-            jnp.take(pos, ii, axis=0), jnp.take(pos, jj, axis=0))
-
-
-@jax.jit
 def _gate_edges(m, Q_conf):
     """Paired desc-confidences + bidirectional match fractions in ONE
     dispatch (global_opt.py:55-77 math). The eager formulation cost ~6
@@ -127,31 +119,62 @@ def _gate_edges(m, Q_conf):
     return Qj, Qi, valid_j.mean(axis=1), valid_i.mean(axis=1)
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
-def _append_pairs(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf, e0, keep_idx,
-                  ii_arr, jj_arr, idx_i2j, idx_j2i, vmj, vmi, Qj, Qi):
-    """Scatter 2*k two-way edges (i->j then j->i per kept pair, matching
-    the per-pair append order) into the edge buffers in ONE dispatch.
-    The previous per-edge row writes cost 5 dispatches per edge — 20-40
-    relay round-trips per keyframe."""
-    k = keep_idx.shape[0]
-    ii_k = jnp.take(ii_arr, keep_idx)
-    jj_k = jnp.take(jj_arr, keep_idx)
-    fwd = jnp.stack([ii_k, jj_k], 1).reshape(-1)      # (2k,) i->j, j->i
-    bwd = jnp.stack([jj_k, ii_k], 1).reshape(-1)
-    P = idx_i2j.shape[1]
+@partial(jax.jit,
+         static_argnames=("cfg", "mcfg", "ds", "matcher", "model_mod"),
+         donate_argnums=(0, 1, 2, 3, 4))
+def _add_factors_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
+                       params, feat, pos, ii_arr, jj_arr, valid_b, consec,
+                       e0, min_match_frac, strict, Q_conf,
+                       cfg, mcfg, ds, matcher, model_mod):
+    """The WHOLE add_factors pipeline in ONE dispatch: pair-feature gather
+    -> symmetric decode -> match -> confidence gate -> masked two-way
+    append, with the keep decision taken ON DEVICE.
 
-    def pairs(a, b):
-        return jnp.stack([jnp.take(a, keep_idx, axis=0),
-                          jnp.take(b, keep_idx, axis=0)],
-                         axis=1).reshape(2 * k, P)
+    Replaces the 4-dispatch + mid-pipeline-readback formulation (gather /
+    decode+match / gate readback / append): the host needed the match
+    fractions only to pick scatter rows, which a cumsum computes in-program
+    — the single frac readback now happens AFTER the append is queued, so
+    the backend step costs one program dispatch and one sync. Also fixes
+    the per-keep-count append recompiles (ADVICE r3): the scatter is fixed
+    (2*bucket)-shaped, masked rows routed out of bounds (dropped by XLA's
+    scatter OOB semantics — also what clamps at a hard max_edge_capacity).
 
-    rows = e0 + jnp.arange(2 * k, dtype=jnp.int32)
-    return (ii_buf.at[rows].set(fwd),
-            jj_buf.at[rows].set(bwd),
-            idx_buf.at[rows].set(pairs(idx_i2j, idx_j2i)),
-            vm_buf.at[rows].set(pairs(vmj, vmi)),
-            Q_buf.at[rows].set(pairs(Qj, Qi)))
+    Spec: global_opt.py:30-110 (gating math, two-way append order).
+    """
+    feat_i = jnp.take(feat, ii_arr, axis=0)
+    feat_j = jnp.take(feat, jj_arr, axis=0)
+    pos_i = jnp.take(pos, ii_arr, axis=0)
+    pos_j = jnp.take(pos, jj_arr, axis=0)
+    m = _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j,
+                               pos_j, ds, matcher, model_mod)
+    Qj, Qi, frac_j, frac_i = _gate_edges(m, Q_conf)
+
+    invalid = jnp.minimum(frac_j, frac_i) < min_match_frac
+    invalid = invalid & ~consec & valid_b
+    abort = strict & invalid.any()
+    keep = valid_b & ~invalid & ~abort                 # (b,)
+
+    b, P = m["idx_i2j"].shape
+    E_cap = ii_buf.shape[0]
+    kprefix = jnp.cumsum(keep) - keep                  # rank among kept
+    rows_fwd = e0 + 2 * kprefix.astype(jnp.int32)
+    # masked rows -> E_cap (out of bounds, dropped); capacity overflow rows
+    # land out of bounds naturally
+    rows_fwd = jnp.where(keep, rows_fwd, E_cap)
+    rows = jnp.stack([rows_fwd, rows_fwd + 1], 1).reshape(2 * b)
+
+    def pairs(a, bwd):
+        return jnp.stack([a, bwd], axis=1).reshape(2 * b, *a.shape[1:])
+
+    vmj = m["valid_match_j"][..., 0]
+    vmi = m["valid_match_i"][..., 0]
+    return (ii_buf.at[rows].set(pairs(ii_arr, jj_arr), mode="drop"),
+            jj_buf.at[rows].set(pairs(jj_arr, ii_arr), mode="drop"),
+            idx_buf.at[rows].set(pairs(m["idx_i2j"], m["idx_j2i"]),
+                                 mode="drop"),
+            vm_buf.at[rows].set(pairs(vmj, vmi), mode="drop"),
+            Q_buf.at[rows].set(pairs(Qj, Qi), mode="drop"),
+            jnp.stack([frac_j, frac_i]))
 
 
 class MatchingConfig(NamedTuple):
@@ -257,7 +280,15 @@ class FactorGraph:
         return time.perf_counter()
 
     def add_factors(self, ii, jj, min_match_frac, is_reloc=False):
-        """Propose edges (i, j); returns True if any edge was accepted."""
+        """Propose edges (i, j); returns True if any edge was accepted.
+
+        One device dispatch (``_add_factors_fused``) + one small frac
+        readback. Capacity is pre-grown for the worst case (all candidates
+        kept) BEFORE the dispatch — the keep count only exists on device;
+        at a hard ``max_edge_capacity`` the program clamps by dropping
+        out-of-bounds scatter rows and the host mirrors that arithmetic
+        for the ``edges_dropped`` counter.
+        """
         if not ii:
             return False
         t0 = time.perf_counter() if self._stage_t is not None else 0.0
@@ -266,73 +297,59 @@ class FactorGraph:
         jj_arr = np.asarray(jj, dtype=np.int32)
         if self.cfg.pad_edge_batch:
             # pad the candidate batch to a power-of-2 bucket (repeat the
-            # last pair; results sliced off below) so the decode+match
-            # program compiles once per bucket instead of once per count
+            # last pair; masked by valid_b) so the decode+match program
+            # compiles once per bucket instead of once per count
             bb = 1
             while bb < nb:
                 bb *= 2
             if bb > nb:
-                pad = np.full(bb - nb, ii_arr[-1], np.int32)
-                ii_arr = np.concatenate([ii_arr, pad])
+                ii_arr = np.concatenate(
+                    [ii_arr, np.full(bb - nb, ii_arr[-1], np.int32)])
                 jj_arr = np.concatenate(
                     [jj_arr, np.full(bb - nb, jj_arr[-1], np.int32)])
-        feat_i, feat_j, pos_i, pos_j = _gather_pair_feats(
-            self.frames.feat, self.frames.pos, jnp.asarray(ii_arr),
-            jnp.asarray(jj_arr))
-        t0 = self._mark("af.gather", t0, feat_i)
+        bb = ii_arr.shape[0]
+        valid_b = np.arange(bb) < nb
+        consec = (ii_arr == jj_arr - 1) & valid_b
 
-        m = _match_edges_symmetric(self.params, self.model_cfg, self.mcfg,
-                                   feat_i, pos_i, feat_j, pos_j,
-                                   self.downsample, self.cfg.matcher,
-                                   self.model_mod)
-        t0 = self._mark("af.decode_match", t0, m["idx_i2j"])
+        e0 = self.n_edges
+        self.ensure_capacity(e0 + 2 * nb)   # worst case; False = capped,
+                                            # the program clamps via OOB
+        (self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
+         fracs) = _add_factors_fused(
+            self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
+            self.params, self.frames.feat, self.frames.pos,
+            jnp.asarray(ii_arr), jnp.asarray(jj_arr),
+            jnp.asarray(valid_b), jnp.asarray(consec),
+            jnp.asarray(e0, jnp.int32),
+            jnp.asarray(min_match_frac, jnp.float32),
+            jnp.asarray(bool(is_reloc)),
+            jnp.asarray(self.cfg.Q_conf, jnp.float32),
+            self.model_cfg, self.mcfg, self.downsample, self.cfg.matcher,
+            self.model_mod)
+        t0 = self._mark("af.dispatch", t0)
 
-        b, P = m["idx_i2j"].shape
-        if b > nb:   # drop the bucket padding
-            m = {k: v[:nb] for k, v in m.items()}
-            ii_arr, jj_arr = ii_arr[:nb], jj_arr[:nb]
-            b = nb
-        # paired desc-confidences + bidirectional fractions
-        # (global_opt.py:55-77) — one dispatch, one small readback
-        Qj, Qi, frac_j, frac_i = _gate_edges(m, self.cfg.Q_conf)
-        frac_j = np.asarray(frac_j)
-        frac_i = np.asarray(frac_i)
-        t0 = self._mark("af.gate_readback", t0)
-
+        fr = np.asarray(fracs)              # the ONE sync of the pipeline
+        t0 = self._mark("af.readback", t0)
+        frac_j, frac_i = fr[0, :nb], fr[1, :nb]
         invalid = np.minimum(frac_j, frac_i) < min_match_frac
-        consecutive = ii_arr == (jj_arr - 1)
-        invalid = (~consecutive) & invalid
+        invalid = (~consec[:nb]) & invalid
         if invalid.any() and is_reloc:
             return False
-        keep = np.nonzero(~invalid)[0]
-        if keep.size == 0:
+        keep = int((~invalid).sum())
+        if keep == 0:
             return False
-
-        if not self.ensure_capacity(self.n_edges + 2 * keep.size):
-            # capacity-capped: keep the prefix that fits, count the rest
-            fits = max((self.capacity - self.n_edges) // 2, 0)
-            dropped = keep.size - fits
-            self.edges_dropped += 2 * dropped
+        fits = max((self.capacity - e0) // 2, 0)
+        if keep > fits:
+            # mirrors the device's out-of-bounds row drops exactly
+            self.edges_dropped += 2 * (keep - fits)
             print("FactorGraph: max_edge_capacity "
                   f"{self.cfg.max_edge_capacity} reached; dropping "
-                  f"{2 * dropped} edges "
+                  f"{2 * (keep - fits)} edges "
                   f"(total dropped {self.edges_dropped})")
-            keep = keep[:fits]
-            if keep.size == 0:
+            keep = fits
+            if keep == 0:
                 return False
-        # two-way storage: (i -> j) and (j -> i) per kept pair, replacing
-        # prep_two_way_edges (global_opt.py:104-110) — ONE batched scatter
-        (self.ii, self.jj, self.idx_ii2jj, self.valid_match,
-         self.Q) = _append_pairs(
-            self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
-            jnp.asarray(self.n_edges, jnp.int32),
-            jnp.asarray(keep, jnp.int32),
-            jnp.asarray(ii_arr), jnp.asarray(jj_arr),
-            m["idx_i2j"], m["idx_j2i"],
-            m["valid_match_j"][..., 0], m["valid_match_i"][..., 0],
-            Qj, Qi)
-        self.n_edges += 2 * keep.size
-        self._mark("af.append", t0, self.Q)
+        self.n_edges = e0 + 2 * keep
         return True
 
     def _append_edge(self, i, j, idx, valid, Q):

@@ -120,6 +120,15 @@ def quantize(feats, centroids, k: int):
     return idx
 
 
+@partial(jax.jit, static_argnames=("nfeat", "k"))
+def prep_and_quantize(rparams, backbone_feat, nfeat: int, k: int):
+    """prep_features + quantize fused into ONE dispatch — the per-keyframe
+    retrieval update previously paid two relay round-trips (prep readback,
+    then quantize readback) where one suffices."""
+    feats = prep_features(rparams, backbone_feat, nfeat)
+    return feats, quantize(feats, rparams["centroids"], k)
+
+
 # ---------------------------------------------------------------------------
 # host-side: binarized inverted file
 # ---------------------------------------------------------------------------
@@ -289,15 +298,18 @@ class RetrievalDatabase:
         Returns a list of keyframe indices (reference semantics:
         retrieval_database.py:43-72).
         """
-        feats = self._features(backbone_feat)
+        # ONE fused dispatch + readback for the device side (prep + top-ma
+        # quantization); top-k columns are ordered, so both the query
+        # (ma_query) and build (ma_build) paths slice the shared top-max
+        ma = (max(self.cfg.ma_query, self.cfg.ma_build)
+              if self.kf_counter > 0 else self.cfg.ma_build)
+        feats_d, words_d = prep_and_quantize(self.rparams, backbone_feat,
+                                             self.cfg.nfeat, ma)
+        feats = np.asarray(feats_d)
+        q_words = np.asarray(words_d)
         topk_inds: list = []
-        q_words = None
         if self.kf_counter > 0:
-            words = np.asarray(
-                quantize(jnp.asarray(feats), self.rparams["centroids"],
-                         self.cfg.ma_query)
-            )
-            q_words = words
+            words = q_words[:, : self.cfg.ma_query]
             ades, agg_ids = aggregate_residuals(feats, words,
                                                 self.centroids_np)
             if self.native:
@@ -313,14 +325,7 @@ class RetrievalDatabase:
             topk_inds = [int(i) for i in order if scores[i] > min_thresh]
 
         if add_after_query:
-            words_b = (
-                q_words[:, : self.cfg.ma_build]
-                if q_words is not None
-                else np.asarray(
-                    quantize(jnp.asarray(feats), self.rparams["centroids"],
-                             self.cfg.ma_build)
-                )
-            )
+            words_b = q_words[:, : self.cfg.ma_build]
             ades, agg_ids = aggregate_residuals(feats, words_b,
                                                 self.centroids_np)
             if self.native:

@@ -13,16 +13,30 @@ import time
 from collections import defaultdict
 
 
+_SYNC_SEQ = [0]
+_SYNC_FNS = {}
+
+
 def device_sync(x=None):
-    """Force a real device sync by reading back a scalar."""
+    """Force a real device sync by reading back a scalar.
+
+    The read-back VALUE must differ on every call: the relayed backend
+    serves bit-identical results from a cache without draining the queue
+    (DEVELOPMENT.md quirk 4), so ``sum(zeros())`` is a no-op sync — a
+    monotonic counter is mixed into the scalar to defeat it. One jitted
+    dispatch per call (eager formulations pay several relay floors)."""
     import jax
     import jax.numpy as jnp
 
-    if x is None:
-        x = jnp.zeros(())
-    leaves = jax.tree_util.tree_leaves(x)
-    if leaves:
-        float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:1]))
+    _SYNC_SEQ[0] += 1
+    salt = jnp.float32(_SYNC_SEQ[0])
+    leaves = jax.tree_util.tree_leaves(x) if x is not None else []
+    if not leaves:
+        leaves = [salt]
+    if "fn" not in _SYNC_FNS:
+        _SYNC_FNS["fn"] = jax.jit(
+            lambda v, s: jnp.sum(v.astype(jnp.float32).ravel()[:1]) + s)
+    float(_SYNC_FNS["fn"](leaves[0], salt))
 
 
 class Timer:
