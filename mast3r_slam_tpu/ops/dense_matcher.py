@@ -78,7 +78,7 @@ def coarse_correlate(D21, D11, stride: int = 4, row_tile: int = 8192):
 def match_dense(X11, X21, D11, D21, stride: int = 4, fine_radius: int = 3,
                 fine_dilation: int = 2, dist_thresh: float = 0.1,
                 lm_iters: int = 3, lambda_init: float = 1e-8,
-                convergence_thresh: float = 1e-6):
+                convergence_thresh: float = 1e-6, query_stride: int = 1):
     """Full dense matcher. Same contract as ops.matching.match:
     returns (idx_1_to_2 (b, n) int32, valid (b, n, 1) bool).
 
@@ -91,32 +91,55 @@ def match_dense(X11, X21, D11, D21, stride: int = 4, fine_radius: int = 3,
     warm start. Costs ~4x less device time than the round-3 formulation
     (probe_dense_stages.py) at equal oracle trajectory accuracy
     (tests/test_e2e_oracle.py gates it).
+
+    ``query_stride`` > 1 matches only every qs-th COLUMN of view 2 (the
+    rows BA reads at ``BAConfig.point_stride == qs``: a stride over the
+    row-major flat point axis is a column stride) and scatters the results
+    into the full-size return arrays with ``valid`` False elsewhere —
+    everything downstream masks by ``valid``. Requires w % qs == 0 and an
+    even query grid; callers validate (factor_graph passes the BA stride).
     """
     b, h, w, _ = X11.shape
     n = h * w
+    qs = int(query_stride)
+    X21q = X21[:, :, ::qs] if qs > 1 else X21
+    D21q = D21[:, :, ::qs] if qs > 1 else D21
+    wq = X21q.shape[2]
+    nq = h * wq
 
-    # 1) coarse descriptor correlation (MXU) on the stride-2 query subgrid
-    D21q = D21[:, ::2, ::2].reshape(b, n // 4, -1).astype(jnp.bfloat16)
-    idx_c = coarse_correlate(D21q, D11.astype(jnp.bfloat16), stride)
-    # upsampled flow -> full-resolution integer warm start
-    pq = matching.lin_to_pixel(idx_c, w)               # (b, n/4, 2) match pos
+    # 1) coarse descriptor correlation (MXU) on the stride-2 subgrid of
+    # the (possibly column-strided) query grid
+    D21qq = D21q[:, ::2, ::2].reshape(b, nq // 4, -1).astype(jnp.bfloat16)
+    idx_c = coarse_correlate(D21qq, D11.astype(jnp.bfloat16), stride)
+    # upsampled flow -> per-query integer warm start (full-res target
+    # coordinates; query positions are their TRUE full-image pixels)
+    pq = matching.lin_to_pixel(idx_c, w)              # (b, nq/4, 2)
     qpos = jnp.stack(
-        jnp.meshgrid(jnp.arange(0, w, 2), jnp.arange(0, h, 2)),
-        axis=-1).reshape(1, n // 4, 2)                 # query (u, v)
-    flow = (pq - qpos).reshape(b, h // 2, w // 2, 2)
+        jnp.meshgrid(jnp.arange(0, w, 2 * qs), jnp.arange(0, h, 2)),
+        axis=-1).reshape(1, nq // 4, 2)               # query (u, v)
+    flow = (pq - qpos).reshape(b, h // 2, wq // 2, 2)
     flow_up = jnp.repeat(jnp.repeat(flow, 2, axis=1), 2, axis=2)
-    upos = jnp.stack(jnp.meshgrid(jnp.arange(w), jnp.arange(h)),
-                     axis=-1)[None]                    # (1, h, w, 2)
+    upos = jnp.stack(jnp.meshgrid(jnp.arange(0, w, qs), jnp.arange(h)),
+                     axis=-1)[None]                   # (1, h, wq, 2)
     p0 = jnp.clip(upos + flow_up,
                   jnp.zeros((2,), jnp.int32),
                   jnp.asarray([w - 1, h - 1], jnp.int32))
-    idx_init = matching.pixel_to_lin(p0.reshape(b, n, 2), w)
+    idx_init = matching.pixel_to_lin(p0.reshape(b, nq, 2), w)
 
     # 2) pyramidal LM polish + window refine + occlusion gate — the
     # tracking matcher, warm-started by the correlation
-    return matching.match(
-        X11, X21, D11, D21, idx_1_to_2_init=idx_init,
+    idx_q, valid_q = matching.match(
+        X11, X21q, D11, D21q, idx_1_to_2_init=idx_init,
         max_iter=0, coarse_iter=max(int(lm_iters), 1),
         lambda_init=lambda_init, convergence_thresh=convergence_thresh,
         dist_thresh=dist_thresh, radius=fine_radius,
         dilation_max=fine_dilation)
+    if qs == 1:
+        return idx_q, valid_q
+    idx = jnp.zeros((b, n), jnp.int32)
+    idx = idx.reshape(b, h, w).at[:, :, ::qs].set(
+        idx_q.reshape(b, h, wq)).reshape(b, n)
+    valid = jnp.zeros((b, n, 1), bool)
+    valid = valid.reshape(b, h, w).at[:, :, ::qs].set(
+        valid_q.reshape(b, h, wq)).reshape(b, n, 1)
+    return idx, valid

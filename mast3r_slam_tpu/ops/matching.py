@@ -264,34 +264,46 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
     the occlusion gate's point gather and the caller's at-match gathers
     are folded into the refine (see
     window_gather.refine_and_gather_full_unfold).
+
+    X21/D21 may be a SUB-GRID of the full query image (shape (b, hq, wq,
+    .) with hq/wq != h/w — e.g. every ``point_stride``-th column for BA
+    edge matching, dense_matcher.match_dense(query_stride=...)): the
+    target image and all returned indices stay full-resolution, only the
+    query set shrinks. Requires an explicit ``idx_1_to_2_init`` (the
+    identity init is only meaningful on the full grid).
     """
     b, h, w, _ = X11.shape
-    n = h * w
+    hq, wq = X21.shape[1], X21.shape[2]
+    n = hq * wq
 
     rays_grad = prep_rays_grad(X11)
     pts3d_norm = _normalize(X21.reshape(b, n, 3))
     if idx_1_to_2_init is None:
+        if (hq, wq) != (h, w):
+            raise ValueError(
+                "sub-grid queries need an explicit idx_1_to_2_init "
+                f"(X11 {h}x{w} vs X21 {hq}x{wq})")
         idx_1_to_2_init = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     p_init = lin_to_pixel(idx_1_to_2_init, w).astype(X11.dtype)
 
-    if coarse_iter > 0 and (h % 2 or w % 2):
+    if coarse_iter > 0 and (hq % 2 or wq % 2):
         raise ValueError(
             f"coarse_iter > 0 needs an even working resolution, got "
-            f"{h}x{w}; set matching.coarse_iter: 0 for this image size "
+            f"{hq}x{wq}; set matching.coarse_iter: 0 for this image size "
             "(a silent fall-through would leave only max_iter LM "
             "iterations and quietly under-converge the projection)")
     valid_coarse = None
     if coarse_iter > 0:
-        p_img = p_init.reshape(b, h, w, 2)
-        t_img = pts3d_norm.reshape(b, h, w, 3)
+        p_img = p_init.reshape(b, hq, wq, 2)
+        t_img = pts3d_norm.reshape(b, hq, wq, 3)
         pc = p_img[:, ::2, ::2].reshape(b, n // 4, 2)
         tc = t_img[:, ::2, ::2].reshape(b, n // 4, 3)
         p_c, v_c = iter_proj(rays_grad, tc, pc, coarse_iter, lambda_init,
                              convergence_thresh)
-        flow = (p_c - pc).reshape(b, h // 2, w // 2, 2)
+        flow = (p_c - pc).reshape(b, hq // 2, wq // 2, 2)
         flow_up = jnp.repeat(jnp.repeat(flow, 2, axis=1), 2, axis=2)
         p_init = (p_img + flow_up).reshape(b, n, 2)
-        v_img = v_c.reshape(b, h // 2, w // 2)
+        v_img = v_c.reshape(b, hq // 2, wq // 2)
         valid_coarse = jnp.repeat(jnp.repeat(v_img, 2, axis=1), 2,
                                   axis=2).reshape(b, n)
 
@@ -337,7 +349,7 @@ def match(X11, X21, D11, D21, idx_1_to_2_init=None, max_iter: int = 10,
 
     # occlusion gate: 3D distance between matched points
     lin = pixel_to_lin(p1i, w)
-    X11_flat = X11.reshape(b, n, 3)
+    X11_flat = X11.reshape(b, h * w, 3)
     X11_at = jnp.take_along_axis(X11_flat, lin[..., None], axis=1)
     dists = jnp.linalg.norm(X11_at - X21.reshape(b, n, 3), axis=-1)
     valid = valid_proj & (dists < dist_thresh)

@@ -57,10 +57,10 @@ class FactorGraphConfig(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "mcfg", "ds", "matcher",
-                                   "model_mod"))
+                                   "model_mod", "query_stride"))
 def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
                            ds: int = 1, matcher: str = "iter_proj",
-                           model_mod=mast3r):
+                           model_mod=mast3r, query_stride: int = 1):
     """Decode + match both directions of a batch of candidate edges.
 
     Returns per-edge match arrays mirroring mast3r_match_symmetric
@@ -79,8 +79,16 @@ def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
     if matcher == "dense":
         idx, valid = dense_matcher.match_dense(
             X11, X21, D11, D21, dist_thresh=mcfg.dist_thresh,
-            fine_radius=mcfg.radius, lambda_init=mcfg.lambda_init,
-            convergence_thresh=mcfg.convergence_thresh)
+            fine_radius=mcfg.radius,
+            # the preset's dilation budget bounds the fine search (tpu_fast
+            # trims to 1 level — 340 -> 213 ms at the b=8 edge batch,
+            # probe_dense_stages --variants; oracle-ATE-gated)
+            fine_dilation=max(min(int(mcfg.dilation_max), 2), 1),
+            lambda_init=mcfg.lambda_init,
+            convergence_thresh=mcfg.convergence_thresh,
+            # match only the points BA will read (point_stride columns);
+            # FactorGraph validates divisibility and passes 1 otherwise
+            query_stride=query_stride)
     else:
         kw = mcfg._asdict()
         kw["subpixel"] = False   # BA gathers by index (reference semantics)
@@ -104,28 +112,35 @@ def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
 
 
 @jax.jit
-def _gate_edges(m, Q_conf):
+def _gate_edges(m, Q_conf, query_stride=1):
     """Paired desc-confidences + bidirectional match fractions in ONE
     dispatch (global_opt.py:55-77 math). The eager formulation cost ~6
     relay round-trips per keyframe (~40 ms dispatch floor each,
     DEVELOPMENT.md quirk 5) — the backend step is dispatch-floor-bound
-    through the tunnel, not device-bound (round-3 e2e finding)."""
+    through the tunnel, not device-bound (round-3 e2e finding).
+
+    With query-strided edge matching only every qs-th point CAN be valid;
+    the fractions are normalized to the matched subset so the
+    min_match_frac thresholds keep their reference meaning."""
     Qj = jnp.sqrt(
         jnp.take_along_axis(m["Qii"], m["idx_i2j"], axis=1) * m["Qji"])
     Qi = jnp.sqrt(
         jnp.take_along_axis(m["Qjj"], m["idx_j2i"], axis=1) * m["Qij"])
     valid_j = m["valid_match_j"][..., 0] & (Qj > Q_conf)
     valid_i = m["valid_match_i"][..., 0] & (Qi > Q_conf)
-    return Qj, Qi, valid_j.mean(axis=1), valid_i.mean(axis=1)
+    return (Qj, Qi, valid_j.mean(axis=1) * query_stride,
+            valid_i.mean(axis=1) * query_stride)
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "mcfg", "ds", "matcher", "model_mod"),
+         static_argnames=("cfg", "mcfg", "ds", "matcher", "model_mod",
+                          "query_stride"),
          donate_argnums=(0, 1, 2, 3, 4))
 def _add_factors_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
                        params, feat, pos, ii_arr, jj_arr, valid_b, consec,
                        e0, min_match_frac, strict, Q_conf,
-                       cfg, mcfg, ds, matcher, model_mod):
+                       cfg, mcfg, ds, matcher, model_mod,
+                       query_stride: int = 1):
     """The WHOLE add_factors pipeline in ONE dispatch: pair-feature gather
     -> symmetric decode -> match -> confidence gate -> masked two-way
     append, with the keep decision taken ON DEVICE.
@@ -146,8 +161,8 @@ def _add_factors_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
     pos_i = jnp.take(pos, ii_arr, axis=0)
     pos_j = jnp.take(pos, jj_arr, axis=0)
     m = _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j,
-                               pos_j, ds, matcher, model_mod)
-    Qj, Qi, frac_j, frac_i = _gate_edges(m, Q_conf)
+                               pos_j, ds, matcher, model_mod, query_stride)
+    Qj, Qi, frac_j, frac_i = _gate_edges(m, Q_conf, query_stride)
 
     invalid = jnp.minimum(frac_j, frac_i) < min_match_frac
     invalid = invalid & ~consec & valid_b
@@ -224,6 +239,17 @@ class FactorGraph:
         self.K = K
 
         E, P = cfg.edge_capacity, keyframes.X.shape[1]
+        # match only the points BA reads: at BAConfig.point_stride == s the
+        # solvers consume idx/valid/Q[:, ::s] only (ba.py _edge_prep), and a
+        # row-major flat stride is a column stride — so the dense edge
+        # matcher can skip the other columns entirely. Valid only when the
+        # strided query grid stays an even image (pyramid constraint).
+        qs = int(getattr(ba_cfg, "point_stride", 1))
+        w = keyframes.w
+        self.query_stride = (
+            qs if (cfg.matcher == "dense" and qs > 1 and w % qs == 0
+                   and (w // qs) % 2 == 0 and keyframes.h % 2 == 0)
+            else 1)
         self.capacity = E           # grows by doubling; see ensure_capacity
         self.edges_dropped = 0      # only ever non-zero with a hard
                                     # max_edge_capacity (metrics-visible —
@@ -325,7 +351,7 @@ class FactorGraph:
             jnp.asarray(bool(is_reloc)),
             jnp.asarray(self.cfg.Q_conf, jnp.float32),
             self.model_cfg, self.mcfg, self.downsample, self.cfg.matcher,
-            self.model_mod)
+            self.model_mod, self.query_stride)
         t0 = self._mark("af.dispatch", t0)
 
         fr = np.asarray(fracs)              # the ONE sync of the pipeline

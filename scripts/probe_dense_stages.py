@@ -98,5 +98,33 @@ def main():
            [(s[2], s[3].reshape(b, n, -1), p) for s, p in zip(sets, p1is)])
 
 
+def variants():
+    """Post-rework sweep: full match_dense + fine_dilation variants."""
+    h, w, f, b = 384, 512, 24, 8
+    n = h * w
+    key = jax.random.PRNGKey(0)
+    ks = iter([jax.random.fold_in(key, 100 + i) for i in range(64)])
+
+    def mk(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        X11 = jax.random.normal(k1, (b, h, w, 3)) + jnp.asarray([0, 0, 4.0])
+        X21 = X11 + 0.01 * jax.random.normal(k2, (b, h, w, 3))
+        D11 = jax.random.normal(k3, (b, h, w, f), dtype=jnp.bfloat16)
+        D21 = D11 + 0.1 * jax.random.normal(k4, (b, h, w, f),
+                                            dtype=jnp.bfloat16)
+        return X11, X21, D11, D21
+
+    sets = [mk(next(ks)) for _ in range(4)]
+    for fr, fd in ((2, 2), (2, 1), (3, 1)):
+        fn = jax.jit(lambda X11, X21, D11, D21, fr=fr, fd=fd:
+                     dense_matcher.match_dense(X11, X21, D11, D21,
+                                               fine_radius=fr,
+                                               fine_dilation=fd))
+        timeit(f"match_dense r{fr} d{fd}", fn, sets)
+
+
 if __name__ == "__main__":
-    main()
+    if "--variants" in sys.argv:
+        variants()
+    else:
+        main()

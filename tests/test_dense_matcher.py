@@ -68,3 +68,36 @@ def test_dense_matcher_large_motion_accuracy():
     )
     acc_dense = np.mean((np.asarray(idx_dn[0]) == np.asarray(expect))[interior])
     assert acc_dense > 0.5, acc_dense
+
+
+def test_dense_matcher_query_stride():
+    """query_stride=s matches only every s-th column (what BA reads at
+    point_stride=s), scatters into full-size returns with valid False
+    elsewhere, and keeps subset accuracy (factor_graph passes the BA
+    stride; ba.py _edge_prep consumes idx/valid[:, ::s])."""
+    key = jax.random.PRNGKey(0)
+    h, w, du, dv = 32, 48, 9, 5
+    X11, X21, D11, D21 = _shifted_world(key, h, w, du, dv)
+    qs = 4
+    idx, valid = dense_matcher.match_dense(X11, X21, D11, D21, stride=4,
+                                           dist_thresh=0.5, query_stride=qs)
+    assert idx.shape == (1, h * w) and valid.shape == (1, h * w, 1)
+    v = np.asarray(valid[0, :, 0]).reshape(h, w)
+    assert not v[:, np.arange(w) % qs != 0].any()      # off-subset False
+    assert v[:, ::qs].mean() > 0.5                     # subset mostly valid
+
+    n = h * w
+    uv = matching.lin_to_pixel(jnp.arange(n, dtype=jnp.int32), w)
+    expect_u = np.asarray(uv[:, 0]) + du
+    expect_v = np.asarray(uv[:, 1]) + dv
+    got = matching.lin_to_pixel(idx[0], w)
+    sub = (np.asarray(uv[:, 0]) % qs == 0)
+    interior = (
+        (expect_u >= 4) & (expect_u < w - 4) & (expect_v >= 4)
+        & (expect_v < h - 4)
+        & (np.asarray(uv[:, 0]) >= 4) & (np.asarray(uv[:, 1]) >= 4)
+        & (np.asarray(uv[:, 0]) < w - 4) & (np.asarray(uv[:, 1]) < h - 4)
+    ) & sub
+    err = np.abs(np.asarray(got[:, 0]) - expect_u)[interior] + np.abs(
+        np.asarray(got[:, 1]) - expect_v)[interior]
+    assert np.mean(err <= 1) > 0.8
