@@ -98,7 +98,11 @@ def _assert_healthy(system, n_frames, kf_every):
     from mast3r_slam_tpu.slam.frame import Mode
 
     st = dict(system.stats)
-    expect_kf = len(range(0, n_frames, kf_every))
+    # kf_every == 0: natural match-fraction keyframing (reference
+    # semantics, tracker.py match_frac_thresh) — the cadence is the
+    # algorithm's own choice; require a live cadence instead of a count
+    expect_kf = (len(range(0, n_frames, kf_every)) if kf_every
+                 else max(st["keyframes"], 2))
     problems = []
     if st["skipped"] != 0:
         problems.append(f"skipped={st['skipped']}")

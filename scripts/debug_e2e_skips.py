@@ -84,9 +84,14 @@ def main():
     cfg = config_mod.load_config(REPO / "configs" / "tpu_fast.yaml")
     cfg["single_thread"] = True
     cfg["tracking"] = dict(cfg["tracking"], kf_every=args.kf_every)
+    # capacities scale with the run length (the >=100-frame e2e
+    # demonstration needs ~n/kf_every keyframes + reloc margin and ~8-10
+    # two-way edges per keyframe)
+    kf_cap = max(32, 2 * (n_frames // args.kf_every + 2))
+    e_cap = max(128, 8 * kf_cap)
     cfg["runtime"] = dict(cfg.get("runtime", {}), tracking_window=W,
                           edge_bucket_floor=64, kf_bucket_floor=8,
-                          max_edge_capacity=128)
+                          max_edge_capacity=e_cap)
     if args.edge_matcher:
         cfg["local_opt"] = dict(cfg["local_opt"], matcher=args.edge_matcher)
 
@@ -109,8 +114,8 @@ def main():
 
     metrics = _Metrics()
     system = SLAMSystem(params, model_cfg, cfg, (h, w),
-                        retrieval_params=rparams, keyframe_capacity=32,
-                        edge_capacity=128, metrics=metrics,
+                        retrieval_params=rparams, keyframe_capacity=kf_cap,
+                        edge_capacity=e_cap, metrics=metrics,
                         model_module=model_mod)
 
     # finiteness probes around every backend step and window consume: the
@@ -182,10 +187,16 @@ def main():
                                sync_of=lambda: fg.Q)
         fg.solve_GN_rays = timed("ba_solve", fg.solve_GN_rays,
                                  sync_of=lambda: system.keyframes.T_WC)
+    import time as _time
+
+    t_run = _time.time()
     system.run(bench._ArrayDataset(frames, img_size=max(h, w)))
+    t_run = _time.time() - t_run
 
     print(json.dumps({"stats": system.stats,
-                      "edges": system.factor_graph.n_edges}))
+                      "edges": system.factor_graph.n_edges,
+                      "wall_s": round(t_run, 2),
+                      "fps_incl_compiles": round(n_frames / t_run, 3)}))
     for r in metrics.rows:
         if r.get("event") == "track":
             flag = " <-- SKIP" if r.get("reloc") else (

@@ -66,7 +66,7 @@ def rel_ate(system, traj):
     return rmse / max(extent, 1e-9), n
 
 
-def run_preset(preset, n_frames, h, w):
+def run_preset(preset, n_frames, h, w, kf_every=0):
     from mast3r_slam_tpu import config as config_mod
     from mast3r_slam_tpu.models import oracle
     from mast3r_slam_tpu.models.mast3r import MASt3RConfig
@@ -74,6 +74,12 @@ def run_preset(preset, n_frames, h, w):
 
     cfg = config_mod.load_config(REPO / "configs" / f"{preset}.yaml")
     cfg["single_thread"] = True
+    if kf_every:
+        # the synthetic oracle scene sits AT the natural unique_frac
+        # keyframe boundary at 512x384 (DEVELOPMENT.md round-4 note), so
+        # natural cadence degenerates to a keyframe nearly every frame;
+        # a fixed cadence isolates preset accuracy from that fixture quirk
+        cfg["tracking"] = dict(cfg["tracking"], kf_every=kf_every)
     model_cfg = MASt3RConfig(img_size=(h, w), desc_dim=24)
 
     traj = make_traj(n_frames)
@@ -100,6 +106,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=25)
     ap.add_argument("--presets", nargs="*", default=["base", "tpu_fast"])
+    ap.add_argument("--kf-every", type=int, default=0,
+                    help="0 = natural cadence (degenerate on this fixture "
+                         "at 512x384; see DEVELOPMENT.md)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -120,7 +129,7 @@ def main():
         print(f"running preset {preset} ({args.frames} frames at 512x384; "
               "expect minutes of remote compiles on a fresh process)...",
               file=sys.stderr, flush=True)
-        r = run_preset(preset, args.frames, 384, 512)
+        r = run_preset(preset, args.frames, 384, 512, args.kf_every)
         print(json.dumps(r), flush=True)
         results.append(r)
     return results
