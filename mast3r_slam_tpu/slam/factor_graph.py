@@ -22,7 +22,7 @@ import numpy as np
 from .. import geometry
 from ..models import mast3r
 from ..ops import dense_matcher, matching
-from . import ba
+from . import ba, frame
 from .frame import KeyframeStore
 
 
@@ -135,7 +135,7 @@ def _gate_edges(m, Q_conf, query_stride=1):
 @partial(jax.jit,
          static_argnames=("cfg", "mcfg", "ds", "matcher", "model_mod",
                           "query_stride"),
-         donate_argnums=(0, 1, 2, 3, 4))
+         donate_argnums=frame.donate_argnums(0, 1, 2, 3, 4))
 def _add_factors_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
                        params, feat, pos, ii_arr, jj_arr, valid_b, consec,
                        e0, min_match_frac, strict, Q_conf,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import os
 from functools import partial
 from typing import Optional
 
@@ -23,6 +24,18 @@ import jax
 import jax.numpy as jnp
 
 from ..lie import sim3
+
+# MSLAM_NO_DONATE=1 disables ALL buffer donation (here, the fused window
+# program and the fused edge append) — a diagnostic for backends whose
+# input/output aliasing is suspect: donation is semantically transparent,
+# so any behavior difference under this flag indicts the runtime's
+# aliasing, not the SLAM code.
+DONATE = not os.environ.get("MSLAM_NO_DONATE")
+
+
+def donate_argnums(*nums):
+    """donate_argnums honoring the MSLAM_NO_DONATE kill-switch."""
+    return nums if DONATE else ()
 
 
 class Mode(enum.Enum):
@@ -33,7 +46,7 @@ class Mode(enum.Enum):
 
 
 @partial(jax.jit, static_argnames=("mode", "score_fn"),
-         donate_argnums=(1, 2))
+         donate_argnums=donate_argnums(1, 2))
 def fuse_pointmap(mode: str, X_old, C_old, N_old, X_new, C_new,
                   score_old=None, score_fn: str = "median", n_updates=None):
     """One fusion step; returns (X, C, N[, score]). Spec: frame.py:41-105.
@@ -136,7 +149,7 @@ def _set_row(buf, i, row):
     return buf.at[i].set(row)
 
 
-_set_row_donate = jax.jit(_set_row, donate_argnums=(0,))
+_set_row_donate = jax.jit(_set_row, donate_argnums=donate_argnums(0))
 _set_row_copy = jax.jit(_set_row)
 
 

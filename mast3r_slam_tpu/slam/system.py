@@ -25,7 +25,7 @@ import numpy as np
 
 from ..models import mast3r
 from ..ops import matching
-from . import ba, tracker as tracker_mod
+from . import ba, frame as frame_mod, tracker as tracker_mod
 from .factor_graph import FactorGraph, FactorGraphConfig, MatchingConfig
 from .frame import Frame, KeyframeStore, Mode, _get_row_jit
 from .retrieval import RetrievalConfig, RetrievalDatabase
@@ -377,7 +377,8 @@ _track_window_fused = partial(
     jax.jit,
     static_argnames=("cfg", "mcfg", "tcfg", "ds", "fuse_mode", "score_fn",
                      "use_calib", "img_size", "window", "model_mod"),
-    donate_argnums=(10, 11, 12, 13, 14, 15, 16, 17, 18))(_track_window_body)
+    donate_argnums=frame_mod.donate_argnums(
+        10, 11, 12, 13, 14, 15, 16, 17, 18))(_track_window_body)
 
 
 class TrackerRunner:

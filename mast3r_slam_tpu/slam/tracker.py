@@ -74,12 +74,29 @@ def _gn_step_t(sqrt_info_t, r_t, J_t, huber_k):
     H = jnp.einsum("din,djn->ij", A, A, preferred_element_type=jnp.float32)
     g = -jnp.einsum("din,dn->i", A, b, preferred_element_type=jnp.float32)
     cost = 0.5 * jnp.sum(b * b)
-
-    L, low = jax.scipy.linalg.cho_factor(H, lower=True)
-    tau = jax.scipy.linalg.cho_solve((L, low), g)
-    ok = jnp.all(jnp.isfinite(tau))
-    tau = jnp.where(ok, tau, jnp.zeros_like(tau))
+    tau, ok = _solve7(H, g)
     return tau, cost, ok
+
+
+def _solve7(H, g):
+    """Jacobi-equilibrated fp32 Cholesky of the 7x7 GN system (the same
+    fp64-Eigen replacement recipe as ba._solve). The raw fp32 factorization
+    failed on marginally-conditioned Sim(3) systems (mixed ray/dist/scale
+    row scales; the round-3/4 'frame-34' e2e tracking failures — identical
+    data succeeded through differently-fused programs, i.e. the raw solve
+    sat at the edge of fp32). Equilibration buys ~cond(D)^2 headroom at
+    negligible cost; the failure flag remains for genuinely singular
+    systems."""
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-12))
+    d_inv = 1.0 / d
+    Hs = H * d_inv[:, None] * d_inv[None, :] + 1e-8 * jnp.eye(7)
+    L, low = jax.scipy.linalg.cho_factor(Hs, lower=True)
+    tau = jax.scipy.linalg.cho_solve((L, low), g * d_inv) * d_inv
+    # the ridge makes an all-zero H (no valid matches) factorize "fine";
+    # that case must still raise the failed flag (-> reloc), so require a
+    # live system on top of a finite update
+    ok = jnp.all(jnp.isfinite(tau)) & (jnp.max(jnp.diagonal(H)) > 0.0)
+    return jnp.where(ok, tau, jnp.zeros_like(tau)), ok
 
 
 def _act_t(T, Xt):
@@ -147,11 +164,7 @@ def _gn_step(sqrt_info, r, J, huber_k):
     H = A.T @ A
     g = -A.T @ b
     cost = 0.5 * jnp.dot(b, b)
-
-    L, low = jax.scipy.linalg.cho_factor(H, lower=True)
-    tau = jax.scipy.linalg.cho_solve((L, low), g)
-    ok = jnp.all(jnp.isfinite(tau))
-    tau = jnp.where(ok, tau, jnp.zeros_like(tau))
+    tau, ok = _solve7(H, g)
     return tau, cost, ok
 
 

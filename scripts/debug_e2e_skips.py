@@ -48,6 +48,14 @@ def main():
                          "the backend/frontend overlap — run without to "
                          "test async/donation interleaving)")
     ap.add_argument("--codebook", type=int, default=4096)
+    ap.add_argument("--no-retrieval", action="store_true",
+                    help="consecutive edges only (isolates loop-closure "
+                         "edge proposals as a failure source)")
+    ap.add_argument("--kf-bucket-floor", type=int, default=8,
+                    help="force the BA keyframe bucket (16 reproduces the "
+                         "Kb=16 program from frame 1 — the frame-33/34 "
+                         "failure onset coincides with the first Kb=16 "
+                         "solve)")
     ap.add_argument("--stage-timers", action="store_true",
                     help="wall-clock per backend stage (device-synced)")
     ap.add_argument("--edge-matcher", default="",
@@ -90,7 +98,8 @@ def main():
     kf_cap = max(32, 2 * (n_frames // args.kf_every + 2))
     e_cap = max(128, 8 * kf_cap)
     cfg["runtime"] = dict(cfg.get("runtime", {}), tracking_window=W,
-                          edge_bucket_floor=64, kf_bucket_floor=8,
+                          edge_bucket_floor=64,
+                          kf_bucket_floor=args.kf_bucket_floor,
                           max_edge_capacity=e_cap)
     if args.edge_matcher:
         cfg["local_opt"] = dict(cfg["local_opt"], matcher=args.edge_matcher)
@@ -108,9 +117,11 @@ def main():
         frames = [oracle_timing.make_frame_image(i, h, w, rng)
                   for i in range(n_frames)]
 
-    rparams = retrieval_mod.init_retrieval_params(
-        jax.random.PRNGKey(1), backbone_dim=model_cfg.enc_embed_dim,
-        codebook_size=args.codebook)
+    rparams = (None if args.no_retrieval
+               else retrieval_mod.init_retrieval_params(
+                   jax.random.PRNGKey(1),
+                   backbone_dim=model_cfg.enc_embed_dim,
+                   codebook_size=args.codebook))
 
     metrics = _Metrics()
     system = SLAMSystem(params, model_cfg, cfg, (h, w),
@@ -181,7 +192,9 @@ def main():
                 return r
             return wrapper
 
-        system.retrieval.update = timed("retrieval", system.retrieval.update)
+        if system.retrieval is not None:
+            system.retrieval.update = timed("retrieval",
+                                            system.retrieval.update)
         fg = system.factor_graph
         fg.add_factors = timed("add_factors", fg.add_factors,
                                sync_of=lambda: fg.Q)
