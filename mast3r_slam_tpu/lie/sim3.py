@@ -162,10 +162,23 @@ def inv(T: jnp.ndarray) -> jnp.ndarray:
 
 
 def mul(Ta: jnp.ndarray, Tb: jnp.ndarray) -> jnp.ndarray:
-    """Compose: Ta * Tb (apply Tb first)."""
+    """Compose: Ta * Tb (apply Tb first).
+
+    The quaternion is RE-NORMALIZED: fp32 rounding leaves |q| = 1 + e
+    after each compose, and the SLAM pose chain composes ~200x per
+    keyframe (50 GN retractions x 4 frames) — un-renormalized, the
+    deviation compounds exponentially (~1.7x/frame measured) and blows up
+    the stored keyframe poses after ~30-35 frames (|q|: 1.0001 -> 1.0008
+    -> 1.007 -> 1.065 -> 1.76 across keyframes 4-8, scripts/replay_ba.py
+    round-4 dumps). This was the e2e 'frame-34 corruption' previously
+    misattributed to the relayed backend: fusing the real network into
+    the programs only changes the fp32 rounding SEED (pure-oracle
+    programs drifted too, just later). lietorch keeps unit quaternions
+    the same way (normalized storage)."""
     ta, qa, sa = parts(Ta)
     tb, qb, sb = parts(Tb)
     q = quat_mul(qa, qb)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
     t = sa * quat_act(qa, tb) + ta
     s = sa * sb
     return from_parts(t, q, s)

@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--no-retrieval", action="store_true",
                     help="consecutive edges only (isolates loop-closure "
                          "edge proposals as a failure source)")
+    ap.add_argument("--dump-ba", default="",
+                    help="save every global-BA solve's inputs+output to "
+                         "<prefix>NNN.npz (replay on CPU with "
+                         "scripts/replay_ba.py to separate wrong-program "
+                         "from wrong-input)")
     ap.add_argument("--kf-bucket-floor", type=int, default=8,
                     help="force the BA keyframe bucket (16 reproduces the "
                          "Kb=16 program from frame 1 — the frame-33/34 "
@@ -200,6 +205,32 @@ def main():
                                sync_of=lambda: fg.Q)
         fg.solve_GN_rays = timed("ba_solve", fg.solve_GN_rays,
                                  sync_of=lambda: system.keyframes.T_WC)
+    if args.dump_ba:
+        fg = system.factor_graph
+        orig_solve = fg.solve_GN_rays
+        dump_n = [0]
+
+        def dumping_solve():
+            e = fg.n_edges
+            n_kf = len(system.keyframes)
+            pre = dict(
+                T_WC=np.asarray(system.keyframes.T_WC),
+                X=np.asarray(system.keyframes.X[: max(n_kf, 1)]),
+                Cavg=np.asarray(
+                    system.keyframes.average_confs()[: max(n_kf, 1)]),
+                ii=np.asarray(fg.ii[:e]), jj=np.asarray(fg.jj[:e]),
+                idx=np.asarray(fg.idx_ii2jj[:e]),
+                vm=np.asarray(fg.valid_match[:e]),
+                Q=np.asarray(fg.Q[:e]), n_kf=n_kf, n_edges=e)
+            orig_solve()
+            pre["T_out"] = np.asarray(system.keyframes.T_WC)
+            path = f"{args.dump_ba}{dump_n[0]:03d}.npz"
+            np.savez_compressed(path, **pre)
+            print(f"BA DUMP {path} n_kf={n_kf} E={e}", flush=True)
+            dump_n[0] += 1
+
+        fg.solve_GN_rays = dumping_solve
+
     import time as _time
 
     t_run = _time.time()
