@@ -137,14 +137,14 @@ def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
     cfg["tracking"] = dict(cfg["tracking"], kf_every=kf_every)
     cfg["runtime"] = dict(cfg.get("runtime", {}),
                           tracking_window=W,
-                          # bound the compiled BA shapes: buckets {64, 128}
-                          # are both exercised by the warm pass as the edge
-                          # count grows; the hard cap keeps a retrieval
-                          # fluctuation in the timed pass from growing a
-                          # FRESH (E=256,...) program mid-measurement
-                          # (drops would be visible in edges_dropped)
+                          # bound the compiled BA shapes: the warm pass
+                          # exercises each bucket the edge count reaches;
+                          # the hard cap keeps a retrieval fluctuation in
+                          # the timed pass from growing a FRESH bigger
+                          # program mid-measurement (drops would be
+                          # visible in edges_dropped)
                           edge_bucket_floor=64, kf_bucket_floor=8,
-                          max_edge_capacity=128)
+                          max_edge_capacity=256)
 
     def run_pass(phase, seed):
         traj = _make_traj(n_frames, phase)
@@ -152,7 +152,7 @@ def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
         params = oracle_timing.make_params(net_params, oparams)
         system = SLAMSystem(params, model_cfg, cfg, (h, w),
                             retrieval_params=rparams,
-                            keyframe_capacity=32, edge_capacity=128,
+                            keyframe_capacity=32, edge_capacity=256,
                             model_module=oracle_timing)
         rng = np.random.default_rng(seed)
         frames = [oracle_timing.make_frame_image(i, h, w, rng)
@@ -273,15 +273,12 @@ def main():
     h, w = 384, 512
     W = int(os.environ.get("BENCH_WINDOW", "8"))
     kf_every = int(os.environ.get("BENCH_KF_EVERY", "4"))
-    # default 33 frames (4 full W=8 windows + init): frames >= 34 of the
-    # oracle_timing run deterministically fail tracking on the tunneled
-    # backend — isolated to the presence of the big fused real-network
-    # program, with bit-identical SLAM inputs clean through the pure-oracle
-    # programs (DEVELOPMENT.md "Big-program corruption through the relay").
-    # The health gate below would (correctly) refuse the 49-frame run;
-    # 33 frames measure the same per-frame work (full network + matcher +
-    # GN + retrieval + edge decode + BA) on a healthy trajectory.
-    n_frames = int(os.environ.get("BENCH_E2E_FRAMES", "33"))
+    # 65 frames = 8 full W=8 windows + init (raised from 33 in round 4
+    # after the 'frame-34 corruption' was root-caused to quaternion
+    # denormalization in sim3.mul and fixed — 120-frame W=8 runs are
+    # healthy; see DEVELOPMENT.md). More frames = more steady-state
+    # fraction in the measured wall clock.
+    n_frames = int(os.environ.get("BENCH_E2E_FRAMES", "65"))
     threaded = os.environ.get("BENCH_E2E_THREADED", "0") == "1"
     skip_tracking = os.environ.get("BENCH_SKIP_TRACKING", "0") == "1"
     skip_e2e = os.environ.get("BENCH_SKIP_E2E", "0") == "1"
