@@ -123,7 +123,7 @@ def _assert_healthy(system, n_frames, kf_every):
 
 
 def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
-              threaded=False):
+              threaded=False, repeats=1):
     import numpy as np
 
     from mast3r_slam_tpu import config as config_mod
@@ -176,13 +176,26 @@ def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
         sys_w.factor_graph.add_factors([0, 1], [5, 6], 1.1)
         sys_w.factor_graph.add_factors([0, 1, 2], [5, 6, 7], 1.1)
 
-    sys_t, dt = run_pass(1.0, 5678)
-    _assert_healthy(sys_t, n_frames, kf_every)
-    fps = n_frames / dt
-    _log(f"timed pass: {n_frames} frames in {dt:.2f}s = {fps:.2f} FPS, "
-         f"stats={sys_t.stats}, edges={sys_t.factor_graph.n_edges}, "
-         f"dropped={sys_t.factor_graph.edges_dropped}")
-    return fps, sys_t
+    # median-of-N timed passes (relay load varies ~2x day to day,
+    # DEVELOPMENT.md quirk 5; each pass gets a fresh value-perturbed
+    # trajectory so the relay's value cache cannot serve repeats)
+    all_fps = []
+    sys_t = None
+    for r in range(max(int(repeats), 1)):
+        sys_t, dt = run_pass(1.0 + 0.1 * r, 5678 + r)
+        _assert_healthy(sys_t, n_frames, kf_every)
+        fps_r = n_frames / dt
+        all_fps.append(fps_r)
+        _log(f"timed pass {r + 1}/{repeats}: {n_frames} frames in "
+             f"{dt:.2f}s = {fps_r:.2f} FPS, stats={sys_t.stats}, "
+             f"edges={sys_t.factor_graph.n_edges}, "
+             f"dropped={sys_t.factor_graph.edges_dropped}")
+    all_fps.sort()
+    fps = all_fps[len(all_fps) // 2]
+    if len(all_fps) > 1:
+        _log(f"median {fps:.2f} FPS over {len(all_fps)} passes "
+             f"(min {all_fps[0]:.2f}, max {all_fps[-1]:.2f})")
+    return fps, sys_t, all_fps
 
 
 # ---------------------------------------------------------------------------
@@ -302,10 +315,15 @@ def main():
         rparams = retrieval_mod.init_retrieval_params(
             jax.random.PRNGKey(1), backbone_dim=model_cfg.enc_embed_dim,
             codebook_size=int(os.environ.get("BENCH_CODEBOOK", "65536")))
-        fps_e2e, sys_t = bench_e2e(params, rparams, model_cfg, h, w, W,
-                                   kf_every, n_frames, threaded=threaded)
+        repeats = int(os.environ.get("BENCH_E2E_REPEATS", "3"))
+        fps_e2e, sys_t, all_fps = bench_e2e(params, rparams, model_cfg, h,
+                                            w, W, kf_every, n_frames,
+                                            threaded=threaded,
+                                            repeats=repeats)
         if threaded:
             result["metric"] = "end_to_end_fps_per_chip_threaded"
+        if len(all_fps) > 1:
+            result["fps_passes"] = [round(f, 3) for f in all_fps]
         result["value"] = round(fps_e2e, 3)
         result["vs_baseline"] = round(fps_e2e / 15.0, 3)
         result["keyframes"] = sys_t.stats["keyframes"]

@@ -30,8 +30,9 @@ def test_bench_e2e_tiny_healthy():
         jax.random.PRNGKey(1), backbone_dim=TINY.enc_embed_dim,
         proj_dim=64, codebook_size=256)
 
-    fps, sys_t = bench.bench_e2e(net_params, rparams, TINY, h, w,
-                                 W=4, kf_every=4, n_frames=17)
+    fps, sys_t, all_fps = bench.bench_e2e(net_params, rparams, TINY, h, w,
+                                          W=4, kf_every=4, n_frames=17)
+    assert all_fps == [fps]
     assert fps > 0
     st = sys_t.stats
     assert st["skipped"] == 0 and st["reloc_failed"] == 0
