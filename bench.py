@@ -98,12 +98,21 @@ def _assert_healthy(system, n_frames, kf_every):
     from mast3r_slam_tpu.slam.frame import Mode
 
     st = dict(system.stats)
-    # kf_every == 0: natural match-fraction keyframing (reference
-    # semantics, tracker.py match_frac_thresh) — the cadence is the
-    # algorithm's own choice; require a live cadence instead of a count
-    expect_kf = (len(range(0, n_frames, kf_every)) if kf_every
-                 else max(st["keyframes"], 2))
     problems = []
+    if kf_every:
+        expect_kf = len(range(0, n_frames, kf_every))
+        if abs(st["keyframes"] - expect_kf) > 2:
+            problems.append(f"keyframes {st['keyframes']} != ~{expect_kf}")
+    else:
+        # kf_every == 0: natural match-fraction keyframing (reference
+        # semantics) — the cadence is the algorithm's own choice, but a
+        # LIVE one: at least a couple of keyframes and not one per frame
+        # (the degenerate regime DEVELOPMENT.md documents for this
+        # fixture must be refused, not reported)
+        if not (2 <= st["keyframes"] <= max(n_frames // 2, 2)):
+            problems.append(
+                f"degenerate natural cadence: {st['keyframes']} keyframes "
+                f"over {n_frames} frames")
     if st["skipped"] != 0:
         problems.append(f"skipped={st['skipped']}")
     if st["reloc_failed"] != 0 or st["frames_reloc"] != 0:
@@ -112,8 +121,6 @@ def _assert_healthy(system, n_frames, kf_every):
     # frames_reloc > 0 above. Anything else means run() aborted early.
     if system.mode not in (Mode.TERMINATED, Mode.TRACKING):
         problems.append(f"end mode {system.mode}")
-    if abs(st["keyframes"] - expect_kf) > 2:
-        problems.append(f"keyframes {st['keyframes']} != ~{expect_kf}")
     if system.factor_graph.n_edges <= 0:
         problems.append("empty factor graph")
     if problems:
@@ -191,7 +198,9 @@ def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
              f"edges={sys_t.factor_graph.n_edges}, "
              f"dropped={sys_t.factor_graph.edges_dropped}")
     all_fps.sort()
-    fps = all_fps[len(all_fps) // 2]
+    n = len(all_fps)
+    fps = (all_fps[n // 2] if n % 2
+           else 0.5 * (all_fps[n // 2 - 1] + all_fps[n // 2]))
     if len(all_fps) > 1:
         _log(f"median {fps:.2f} FPS over {len(all_fps)} passes "
              f"(min {all_fps[0]:.2f}, max {all_fps[-1]:.2f})")

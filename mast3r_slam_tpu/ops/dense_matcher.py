@@ -43,9 +43,14 @@ def coarse_correlate(D21, D11, stride: int = 4, row_tile: int = 8192):
 
     The correlation tiles are accumulated in bf16: the (rows, cells) score
     matrix is the op's entire HBM cost (~n*nc*bytes written + re-read by
-    the argmax), the MXU emits bf16 at full rate, and the winner only needs
-    to be within the fine window's catch radius — ties at bf16 resolution
-    move the seed by one cell at most.
+    the argmax) and the MXU emits bf16 at full rate, halving the op. The
+    cost: bf16 score ties are GLOBAL — on a near-flat correlation plateau
+    the argmax may pick a far-away cell, and the downstream LM + window
+    polish has a bounded catch radius, so such points end up gated
+    invalid (occlusion/frac gates) rather than recovered. Acceptable for
+    a seed whose consumers are robust to per-point dropouts
+    (oracle-ATE-gated end to end); flip to f32 accumulation if a future
+    descriptor family shows plateau-heavy correlations.
     """
     b, h, w, f = D11.shape
     n = D21.shape[1]

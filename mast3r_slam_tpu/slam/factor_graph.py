@@ -80,10 +80,12 @@ def _match_edges_symmetric(params, cfg, mcfg, feat_i, pos_i, feat_j, pos_j,
         idx, valid = dense_matcher.match_dense(
             X11, X21, D11, D21, dist_thresh=mcfg.dist_thresh,
             fine_radius=mcfg.radius,
-            # the preset's dilation budget bounds the fine search (tpu_fast
-            # trims to 1 level — 340 -> 213 ms at the b=8 edge batch,
-            # probe_dense_stages --variants; oracle-ATE-gated)
-            fine_dilation=max(min(int(mcfg.dilation_max), 2), 1),
+            # the preset's dilation budget IS the fine-search depth
+            # (tpu_fast: 1 level — 340 -> 213 ms at the b=8 edge batch,
+            # probe_dense_stages --variants; oracle-ATE-gated). Respected
+            # as configured; presets pairing the dense edge matcher with
+            # deep dilation pay the corresponding unfold-build cost.
+            fine_dilation=max(int(mcfg.dilation_max), 1),
             lambda_init=mcfg.lambda_init,
             convergence_thresh=mcfg.convergence_thresh,
             # match only the points BA will read (point_stride columns);
@@ -357,7 +359,11 @@ class FactorGraph:
         fr = np.asarray(fracs)              # the ONE sync of the pipeline
         t0 = self._mark("af.readback", t0)
         frac_j, frac_i = fr[0, :nb], fr[1, :nb]
-        invalid = np.minimum(frac_j, frac_i) < min_match_frac
+        # identical arithmetic to the device gate (which compared against
+        # the f32 cast of the threshold) — a f64 comparison here could
+        # disagree on an exactly-equal frac and desync n_edges from the
+        # rows the program actually wrote
+        invalid = np.minimum(frac_j, frac_i) < np.float32(min_match_frac)
         invalid = (~consec[:nb]) & invalid
         if invalid.any() and is_reloc:
             return False

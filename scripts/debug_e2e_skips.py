@@ -100,7 +100,7 @@ def main():
     # capacities scale with the run length (the >=100-frame e2e
     # demonstration needs ~n/kf_every keyframes + reloc margin and ~8-10
     # two-way edges per keyframe)
-    kf_cap = max(32, 2 * (n_frames // args.kf_every + 2))
+    kf_cap = max(32, 2 * (n_frames // max(args.kf_every, 1) + 2))
     e_cap = max(128, 8 * kf_cap)
     cfg["runtime"] = dict(cfg.get("runtime", {}), tracking_window=W,
                           edge_bucket_floor=64,
