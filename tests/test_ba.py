@@ -382,3 +382,62 @@ def test_factor_graph_edge_growth():
         fg2._append_edge(int(ii[e]), int(jj[e]), idx[e], valid[e], Q[e])
     assert fg2.capacity == 16 and fg2.n_edges == 16
     assert fg2.edges_dropped == E - 16
+
+
+def test_fused_add_factors_hard_cap_clamps_and_counts():
+    """The single-dispatch add_factors path (factor_graph._add_factors_fused)
+    must mirror its on-device OOB-drop clamping on the host: at a hard
+    max_edge_capacity the appended rows, n_edges and edges_dropped all
+    agree with what the program actually wrote."""
+    from mast3r_slam_tpu import config as config_mod
+    from mast3r_slam_tpu.models import oracle
+    from mast3r_slam_tpu.models.mast3r import MASt3RConfig
+    from mast3r_slam_tpu.slam.factor_graph import (FactorGraph,
+                                                   FactorGraphConfig,
+                                                   MatchingConfig)
+    from mast3r_slam_tpu.slam.frame import KeyframeStore
+
+    CFG = MASt3RConfig(img_size=(64, 96), enc_embed_dim=64, desc_dim=8,
+                       dtype="float32")
+    h, w = CFG.img_size
+    n_kf = 4
+    Ts = [sim3.identity()]
+    for i in range(1, n_kf):
+        Ts.append(sim3.mul(Ts[-1], sim3.exp(jnp.array(
+            [0.18, 0.0, 0.04, 0.0, 0.06, 0.008, 0.0]))))
+    traj = jnp.stack(Ts)
+    params = oracle.make_params(traj, desc_dim=CFG.desc_dim)
+
+    kfs = KeyframeStore(8, h * w, CFG.num_patches, CFG.enc_embed_dim,
+                        (h, w), donate=False)
+    for i in range(n_kf):
+        feat, pos = oracle.encode_fid(params, jnp.asarray([i]), CFG)
+        kfs.feat = kfs.feat.at[i].set(feat[0].astype(kfs.feat.dtype))
+        kfs.pos = kfs.pos.at[i].set(pos[0])
+        kfs.T_WC = kfs.T_WC.at[i].set(traj[i])
+    kfs.n_size = n_kf
+
+    mcfg = MatchingConfig(dilation_max=1, radius=2, coarse_iter=3,
+                          max_iter=0)
+    fg = FactorGraph(params, CFG, kfs,
+                     FactorGraphConfig(edge_capacity=4, max_edge_capacity=4,
+                                       pad_edge_batch=True),
+                     ba.BAConfig(max_iters=2, point_chunk=1024),
+                     mcfg, model_module=oracle)
+
+    # 3 consecutive candidate pairs (consecutive pairs bypass the frac
+    # gate) -> 6 two-way edges wanted, only 4 fit: 2 pairs kept, 1 dropped
+    ok = fg.add_factors([0, 1, 2], [1, 2, 3], min_match_frac=0.99)
+    assert ok
+    assert fg.n_edges == 4
+    assert fg.edges_dropped == 2
+    ii = np.asarray(fg.ii[:4]).tolist()
+    jj = np.asarray(fg.jj[:4]).tolist()
+    assert (ii, jj) == ([0, 1, 1, 2], [1, 0, 2, 1])
+    # the dropped pair's rows were never written on device either
+    assert np.asarray(fg.ii[4:]).sum() == 0
+
+    # a second proposal at a full buffer drops everything and reports it
+    ok2 = fg.add_factors([0], [2], min_match_frac=0.0)
+    assert not ok2
+    assert fg.n_edges == 4 and fg.edges_dropped == 4
