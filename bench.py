@@ -153,8 +153,9 @@ def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
                           edge_bucket_floor=64, kf_bucket_floor=8,
                           max_edge_capacity=256)
 
-    def run_pass(phase, seed):
-        traj = _make_traj(n_frames, phase)
+    def run_pass(phase, seed, nf=None):
+        nf = n_frames if nf is None else nf
+        traj = _make_traj(nf, phase)
         oparams = oracle.make_params(traj, desc_dim=model_cfg.desc_dim)
         params = oracle_timing.make_params(net_params, oparams)
         system = SLAMSystem(params, model_cfg, cfg, (h, w),
@@ -163,7 +164,7 @@ def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
                             model_module=oracle_timing)
         rng = np.random.default_rng(seed)
         frames = [oracle_timing.make_frame_image(i, h, w, rng)
-                  for i in range(n_frames)]
+                  for i in range(nf)]
         t0 = time.time()
         system.run(_ArrayDataset(frames, img_size=max(h, w)))
         device_sync(system.keyframes.T_WC)  # flush any async backend work
@@ -182,6 +183,13 @@ def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
         sys_w.factor_graph.add_factors([0], [5], 1.1)
         sys_w.factor_graph.add_factors([0, 1], [5, 6], 1.1)
         sys_w.factor_graph.add_factors([0, 1, 2], [5, 6, 7], 1.1)
+
+    # locality-restore pass (short, unmeasured): the first dispatches
+    # after a compile-heavy warm pass measure the relay re-staging its
+    # executables, not SLAM — the round-4 repeats run trended 1.99 ->
+    # 3.58 -> 4.33 FPS across otherwise-identical passes. One short run
+    # absorbs that.
+    run_pass(0.7, 4321, nf=2 * W + 1)
 
     # median-of-N timed passes (relay load varies ~2x day to day,
     # DEVELOPMENT.md quirk 5; each pass gets a fresh value-perturbed
