@@ -27,6 +27,7 @@ def save_state(path, system):
     """
     kf = system.keyframes
     fg = system.factor_graph
+    fg.flush()   # deferred edge-gate readbacks must land before snapshot
     n, e = kf.n_size, fg.n_edges
     arrays = {
         "kf_n_size": np.asarray(kf.n_size),
@@ -105,6 +106,9 @@ def load_state(path, system):
     kf.pos = into(kf.pos, "kf_pos")
     kf.uimg[: kf.n_size] = data["kf_uimg"][: kf.n_size]
     fg.n_edges = int(data["fg_n_edges"])
+    fg.n_edges_dev = jnp.asarray(fg.n_edges, jnp.int32)
+    fg.n_edges_ub = fg.n_edges
+    fg._pending = []
     fg.ensure_capacity(fg.n_edges)   # checkpoints may hold a grown graph
     fg.ii = into(fg.ii, "fg_ii")
     fg.jj = into(fg.jj, "fg_jj")

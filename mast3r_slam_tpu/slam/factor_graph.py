@@ -185,13 +185,19 @@ def _add_factors_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
 
     vmj = m["valid_match_j"][..., 0]
     vmi = m["valid_match_i"][..., 0]
+    # post-append edge count, ON DEVICE (the deferred-readback backend
+    # path feeds this straight into the next solve's edge mask without a
+    # host round-trip; mirrors the host's fits-clamp arithmetic)
+    fits = jnp.maximum((E_cap - e0) // 2, 0)
+    n_new = e0 + 2 * jnp.minimum(keep.sum(), fits).astype(jnp.int32)
     return (ii_buf.at[rows].set(pairs(ii_arr, jj_arr), mode="drop"),
             jj_buf.at[rows].set(pairs(jj_arr, ii_arr), mode="drop"),
             idx_buf.at[rows].set(pairs(m["idx_i2j"], m["idx_j2i"]),
                                  mode="drop"),
             vm_buf.at[rows].set(pairs(vmj, vmi), mode="drop"),
             Q_buf.at[rows].set(pairs(Qj, Qi), mode="drop"),
-            jnp.stack([frac_j, frac_i]))
+            jnp.stack([frac_j, frac_i]),
+            n_new)
 
 
 class MatchingConfig(NamedTuple):
@@ -257,6 +263,14 @@ class FactorGraph:
                                     # max_edge_capacity (metrics-visible —
                                     # no silent drops)
         self.n_edges = 0
+        # deferred-gate machinery: the device keeps its own post-append
+        # edge count (n_edges_dev) so the backend can dispatch
+        # add_factors AND the following BA solve without reading the
+        # match fractions back first; the host applies the same gate
+        # arithmetic later (flush) to reconcile n_edges/edges_dropped.
+        self.n_edges_dev = jnp.zeros((), jnp.int32)
+        self.n_edges_ub = 0          # host upper bound (capacity/bucketing)
+        self._pending: list = []     # deferred gate readbacks, FIFO
         # FG_STAGE_TIMERS=1: wall-clock each add_factors sub-stage with a
         # forced device sync (locates time INSIDE the backend whale —
         # VERDICT r3 weak #1: ~0.6 s/keyframe was unattributed)
@@ -307,7 +321,8 @@ class FactorGraph:
         print(f"FGSTAGE {name} {dt:.3f}s", flush=True)
         return time.perf_counter()
 
-    def add_factors(self, ii, jj, min_match_frac, is_reloc=False):
+    def add_factors(self, ii, jj, min_match_frac, is_reloc=False,
+                    defer=False):
         """Propose edges (i, j); returns True if any edge was accepted.
 
         One device dispatch (``_add_factors_fused``) + one small frac
@@ -316,9 +331,20 @@ class FactorGraph:
         at a hard ``max_edge_capacity`` the program clamps by dropping
         out-of-bounds scatter rows and the host mirrors that arithmetic
         for the ``edges_dropped`` counter.
+
+        ``defer=True`` (global-opt path): skip the readback entirely —
+        the program's on-device ``n_edges_dev`` feeds the next solve's
+        edge mask directly, and the frac readback is queued for a later
+        ``flush()`` (host bookkeeping lags by <= one backend step).
+        Returns True meaning "dispatched" in that mode. Relocalization
+        always runs synchronously (its caller branches on the result).
         """
         if not ii:
             return False
+        if is_reloc:
+            defer = False
+        if not defer:
+            self.flush()
         t0 = time.perf_counter() if self._stage_t is not None else 0.0
         nb = len(ii)
         ii_arr = np.asarray(ii, dtype=np.int32)
@@ -339,16 +365,16 @@ class FactorGraph:
         valid_b = np.arange(bb) < nb
         consec = (ii_arr == jj_arr - 1) & valid_b
 
-        e0 = self.n_edges
-        self.ensure_capacity(e0 + 2 * nb)   # worst case; False = capped,
-                                            # the program clamps via OOB
+        # worst case over everything in flight; False = capped, the
+        # program clamps via OOB drops
+        self.ensure_capacity(self.n_edges_ub + 2 * nb)
         (self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
-         fracs) = _add_factors_fused(
+         fracs, self.n_edges_dev) = _add_factors_fused(
             self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
             self.params, self.frames.feat, self.frames.pos,
             jnp.asarray(ii_arr), jnp.asarray(jj_arr),
             jnp.asarray(valid_b), jnp.asarray(consec),
-            jnp.asarray(e0, jnp.int32),
+            self.n_edges_dev,
             jnp.asarray(min_match_frac, jnp.float32),
             jnp.asarray(bool(is_reloc)),
             jnp.asarray(self.cfg.Q_conf, jnp.float32),
@@ -356,21 +382,32 @@ class FactorGraph:
             self.model_mod, self.query_stride)
         t0 = self._mark("af.dispatch", t0)
 
-        fr = np.asarray(fracs)              # the ONE sync of the pipeline
+        rec = (fracs, nb, consec[:nb].copy(), float(min_match_frac),
+               self.capacity, bool(is_reloc))
+        if defer:
+            self._pending.append(rec)
+            self.n_edges_ub = min(self.n_edges_ub + 2 * nb, self.capacity)
+            return True
+        ok = self._apply_gate(rec)
         t0 = self._mark("af.readback", t0)
+        self.n_edges_ub = self.n_edges
+        return ok
+
+    def _apply_gate(self, rec):
+        """Host mirror of the device gate (identical f32 arithmetic) —
+        reconciles n_edges / edges_dropped with the rows the program
+        wrote. Applied in dispatch order (FIFO)."""
+        fracs, nb, consec, min_match_frac, cap_at_dispatch, is_reloc = rec
+        fr = np.asarray(fracs)              # the ONE sync of the pipeline
         frac_j, frac_i = fr[0, :nb], fr[1, :nb]
-        # identical arithmetic to the device gate (which compared against
-        # the f32 cast of the threshold) — a f64 comparison here could
-        # disagree on an exactly-equal frac and desync n_edges from the
-        # rows the program actually wrote
         invalid = np.minimum(frac_j, frac_i) < np.float32(min_match_frac)
-        invalid = (~consec[:nb]) & invalid
+        invalid = (~consec) & invalid
         if invalid.any() and is_reloc:
             return False
         keep = int((~invalid).sum())
         if keep == 0:
             return False
-        fits = max((self.capacity - e0) // 2, 0)
+        fits = max((cap_at_dispatch - self.n_edges) // 2, 0)
         if keep > fits:
             # mirrors the device's out-of-bounds row drops exactly
             self.edges_dropped += 2 * (keep - fits)
@@ -381,8 +418,15 @@ class FactorGraph:
             keep = fits
             if keep == 0:
                 return False
-        self.n_edges = e0 + 2 * keep
+        self.n_edges += 2 * keep
         return True
+
+    def flush(self):
+        """Apply all deferred edge-gate readbacks (host bookkeeping catches
+        up with the device edge count)."""
+        while self._pending:
+            self._apply_gate(self._pending.pop(0))
+        self.n_edges_ub = self.n_edges
 
     def _append_edge(self, i, j, idx, valid, Q):
         e = self.n_edges
@@ -396,14 +440,20 @@ class FactorGraph:
         self.valid_match = sr(self.valid_match, e, valid)
         self.Q = sr(self.Q, e, Q)
         self.n_edges = e + 1
+        # keep the device count in lockstep (the dense solve path masks
+        # by n_edges_dev; see add_factors defer docs)
+        self.n_edges_dev = jnp.asarray(self.n_edges, jnp.int32)
+        self.n_edges_ub = self.n_edges
 
     @property
     def edge_mask(self):
+        self.flush()
         return (jnp.arange(self.capacity) < self.n_edges).astype(
             jnp.float32
         )
 
     def unique_kf_idx(self):
+        self.flush()
         e = self.n_edges
         return np.unique(np.concatenate([
             np.asarray(self.ii[:e]), np.asarray(self.jj[:e])
@@ -425,7 +475,7 @@ class FactorGraph:
                 b *= 2
             return min(b, cap)
 
-        Eb = bucket(self.n_edges, self.capacity,
+        Eb = bucket(max(self.n_edges, self.n_edges_ub), self.capacity,
                     self.cfg.edge_bucket_floor)
         Kb = bucket(len(self.frames), self.frames.capacity,
                     self.cfg.kf_bucket_floor)
@@ -436,16 +486,27 @@ class FactorGraph:
                                  if Kb < self.frames.capacity else T)
 
     def solve_GN_rays(self):
-        if self.n_edges == 0 or len(self.frames) <= self.ba_cfg.pin:
+        if ((self.n_edges == 0 and self.n_edges_ub == 0)
+                or len(self.frames) <= self.ba_cfg.pin):
             return
-        Eb, Kb = self._buckets()
         backend = (self.cfg.ba_backend
                    if self.mesh is not None and self.mesh.size > 1
                    else "dense")
+        if backend != "dense":
+            self.flush()     # multi-device partitioning needs exact counts
+            if self.n_edges == 0:
+                return
+        Eb, Kb = self._buckets()
+        # with deferred add_factors in flight, the DEVICE edge count is
+        # the authoritative one (no readback between decode and solve);
+        # otherwise the host count is (covers tests/tools that assign
+        # n_edges directly)
+        mask = (_active_mask(self.n_edges_dev, Eb) if self._pending
+                else self.edge_mask[:Eb])
         args = (self.frames.T_WC[:Kb], self.frames.X[:Kb],
                 self.frames.average_confs()[:Kb],
                 self.ii[:Eb], self.jj[:Eb], self.idx_ii2jj[:Eb],
-                self.valid_match[:Eb], self.Q[:Eb], self.edge_mask[:Eb],
+                self.valid_match[:Eb], self.Q[:Eb], mask,
                 jnp.asarray(len(self.frames)))
         if backend == "schur":
             from ..parallel import schur
@@ -478,18 +539,25 @@ class FactorGraph:
         self._adopt_poses(T, Kb)
 
     def solve_GN_calib(self):
-        if self.n_edges == 0 or len(self.frames) <= self.ba_cfg.pin:
+        if ((self.n_edges == 0 and self.n_edges_ub == 0)
+                or len(self.frames) <= self.ba_cfg.pin):
             return
         img_size = (self.frames.h, self.frames.w)
-        Eb, Kb = self._buckets()
         backend = (self.cfg.ba_backend
                    if self.mesh is not None and self.mesh.size > 1
                    else "dense")
+        if backend != "dense":
+            self.flush()     # multi-device partitioning needs exact counts
+            if self.n_edges == 0:
+                return
+        Eb, Kb = self._buckets()
+        mask = (_active_mask(self.n_edges_dev, Eb) if self._pending
+                else self.edge_mask[:Eb])
         Xs = constrain_all(self.frames.X[:Kb], self.K, img_size)
         args = (self.frames.T_WC[:Kb], Xs,
                 self.frames.average_confs()[:Kb],
                 self.ii[:Eb], self.jj[:Eb], self.idx_ii2jj[:Eb],
-                self.valid_match[:Eb], self.Q[:Eb], self.edge_mask[:Eb],
+                self.valid_match[:Eb], self.Q[:Eb], mask,
                 jnp.asarray(len(self.frames)))
         if backend == "schur":
             from ..parallel import schur
@@ -529,6 +597,12 @@ class FactorGraph:
 def _merge_rows(buf, rows):
     """Write the leading rows of ``buf`` (bucketed BA result adoption)."""
     return jax.lax.dynamic_update_slice_in_dim(buf, rows, 0, axis=0)
+
+
+@partial(jax.jit, static_argnames=("Eb",))
+def _active_mask(n_dev, Eb: int):
+    """Edge mask from the DEVICE edge count (deferred-gate solve path)."""
+    return (jnp.arange(Eb) < n_dev).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("img_size",))

@@ -873,6 +873,7 @@ class SLAMSystem:
         reference's lock-discipline-by-convention with explicit validation)."""
         kf = self.keyframes
         assert 0 <= kf.n_size <= kf.capacity
+        self.factor_graph.flush()
         assert 0 <= self.factor_graph.n_edges <= self.factor_graph.capacity
         n = kf.n_size
         if n:
@@ -895,6 +896,10 @@ class SLAMSystem:
 
         Spec: run_backend (main.py:74-142). Returns True if work was done.
         """
+        # deferred edge-gate readbacks from the PREVIOUS backend step land
+        # here (their device work has long finished; the readback is a
+        # transfer, not a stall) so stats/metrics stay near-exact
+        self.factor_graph.flush()
         if self.reloc_pending:
             self.reloc_pending = False
             success = self._relocalize(self.current_frame)
@@ -936,9 +941,14 @@ class SLAMSystem:
 
         kf_idx = list(set(kf_idx) - {idx})
         if kf_idx:
+            # deferred gate: the decode+match dispatch is NOT synced here;
+            # the solve below masks by the device edge count and the frac
+            # readback lands at the next backend step's flush (factor_
+            # graph.add_factors docstring)
             self.factor_graph.add_factors(
                 kf_idx, [idx] * len(kf_idx),
-                float(self.config["local_opt"]["min_match_frac"]))
+                float(self.config["local_opt"]["min_match_frac"]),
+                defer=True)
 
         if self.use_calib:
             self.factor_graph.solve_GN_calib()
@@ -1107,6 +1117,7 @@ class SLAMSystem:
             else:
                 time.sleep(0.01)
         self.mode = Mode.TERMINATED
+        self.factor_graph.flush()
         if backend_thread is not None:
             backend_thread.join(timeout=10.0)
         if viewer is not None:

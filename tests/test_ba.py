@@ -441,3 +441,79 @@ def test_fused_add_factors_hard_cap_clamps_and_counts():
     ok2 = fg.add_factors([0], [2], min_match_frac=0.0)
     assert not ok2
     assert fg.n_edges == 4 and fg.edges_dropped == 4
+
+
+def test_deferred_add_factors_equivalent_to_sync():
+    """add_factors(defer=True) + flush must leave IDENTICAL edge state to
+    the synchronous path (same buffers, n_edges, device count), and the
+    dense solve's device-count mask must see the edges without a flush."""
+    from mast3r_slam_tpu.models import oracle
+    from mast3r_slam_tpu.models.mast3r import MASt3RConfig
+    from mast3r_slam_tpu.slam.factor_graph import (FactorGraph,
+                                                   FactorGraphConfig,
+                                                   MatchingConfig)
+    from mast3r_slam_tpu.slam.frame import KeyframeStore
+
+    CFG = MASt3RConfig(img_size=(64, 96), enc_embed_dim=64, desc_dim=8,
+                       dtype="float32")
+    h, w = CFG.img_size
+    n_kf = 4
+    Ts = [sim3.identity()]
+    for i in range(1, n_kf):
+        Ts.append(sim3.mul(Ts[-1], sim3.exp(jnp.array(
+            [0.18, 0.0, 0.04, 0.0, 0.06, 0.008, 0.0]))))
+    traj = jnp.stack(Ts)
+    params = oracle.make_params(traj, desc_dim=CFG.desc_dim)
+
+    def build():
+        kfs = KeyframeStore(8, h * w, CFG.num_patches, CFG.enc_embed_dim,
+                            (h, w), donate=False)
+        for i in range(n_kf):
+            feat, pos = oracle.encode_fid(params, jnp.asarray([i]), CFG)
+            kfs.feat = kfs.feat.at[i].set(feat[0].astype(kfs.feat.dtype))
+            kfs.pos = kfs.pos.at[i].set(pos[0])
+            kfs.T_WC = kfs.T_WC.at[i].set(traj[i])
+        kfs.n_size = n_kf
+        mcfg = MatchingConfig(dilation_max=1, radius=2, coarse_iter=3,
+                              max_iter=0)
+        return FactorGraph(params, CFG, kfs,
+                           FactorGraphConfig(edge_capacity=16),
+                           ba.BAConfig(max_iters=2, point_chunk=1024),
+                           mcfg, model_module=oracle)
+
+    fg_s = build()
+    fg_s.add_factors([0, 1], [1, 2], min_match_frac=0.1)
+    fg_s.add_factors([2], [3], min_match_frac=0.1)
+
+    fg_d = build()
+    assert fg_d.add_factors([0, 1], [1, 2], min_match_frac=0.1, defer=True)
+    assert fg_d.add_factors([2], [3], min_match_frac=0.1, defer=True)
+    # before flush: host count lags, device count is ahead
+    assert fg_d.n_edges == 0 and fg_d._pending
+    assert int(fg_d.n_edges_dev) == fg_s.n_edges
+    fg_d.flush()
+    assert fg_d.n_edges == fg_s.n_edges and not fg_d._pending
+
+    e = fg_s.n_edges
+    np.testing.assert_array_equal(np.asarray(fg_s.ii[:e]),
+                                  np.asarray(fg_d.ii[:e]))
+    np.testing.assert_array_equal(np.asarray(fg_s.jj[:e]),
+                                  np.asarray(fg_d.jj[:e]))
+    np.testing.assert_array_equal(np.asarray(fg_s.idx_ii2jj[:e]),
+                                  np.asarray(fg_d.idx_ii2jj[:e]))
+    np.testing.assert_array_equal(np.asarray(fg_s.valid_match[:e]),
+                                  np.asarray(fg_d.valid_match[:e]))
+    np.testing.assert_array_equal(np.asarray(fg_s.Q[:e]),
+                                  np.asarray(fg_d.Q[:e]))
+
+    # deferred dispatch + immediate solve (no flush in between): the
+    # device-count mask must make the solve act on the new edges
+    fg_d2 = build()
+    fg_d2.add_factors([0, 1, 2], [1, 2, 3], min_match_frac=0.1, defer=True)
+    T_before = np.asarray(fg_d2.frames.T_WC[:n_kf]).copy()
+    fg_d2.frames.T_WC = fg_d2.frames.T_WC.at[1].set(
+        sim3.retr(traj[1], 0.05 * jnp.ones(7)))
+    fg_d2.solve_GN_rays()
+    T_after = np.asarray(fg_d2.frames.T_WC[:n_kf])
+    assert np.abs(T_after[1] - np.asarray(fg_d2.frames.T_WC[1])).max() == 0
+    assert np.abs(T_after - T_before).max() > 1e-4   # solve DID move poses
