@@ -290,21 +290,42 @@ class RetrievalDatabase:
         feats = prep_features(self.rparams, backbone_feat, self.cfg.nfeat)
         return np.asarray(feats)
 
+    def prefetch(self, backbone_feat):
+        """Dispatch (do NOT read back) the device half of ``update``.
+
+        Returns opaque device handles for ``update(prefetched=...)``. The
+        point is queue position: dispatched BEFORE a big frontend program,
+        the tiny prep+quantize executes first, so the later readback and
+        the host IVF work overlap the frontend compute instead of
+        serializing after it (the reference hides the same latency in its
+        concurrent backend process, main.py:74-142). Always quantizes to
+        top-max(ma_query, ma_build); top_k columns are ordered so both
+        consumers slice the shared prefix — identical results to the
+        non-prefetched path.
+        """
+        ma = max(self.cfg.ma_query, self.cfg.ma_build)
+        return prep_and_quantize(self.rparams, backbone_feat,
+                                 self.cfg.nfeat, ma)
+
     def update(self, backbone_feat, add_after_query: bool, k: int,
-               min_thresh: float = 0.0):
+               min_thresh: float = 0.0, prefetched=None):
         """Query top-k similar keyframes, then optionally insert.
 
-        backbone_feat: (n, backbone_dim) encoder tokens of the frame.
-        Returns a list of keyframe indices (reference semantics:
+        backbone_feat: (n, backbone_dim) encoder tokens of the frame
+        (ignored when ``prefetched`` handles from :meth:`prefetch` are
+        given). Returns a list of keyframe indices (reference semantics:
         retrieval_database.py:43-72).
         """
         # ONE fused dispatch + readback for the device side (prep + top-ma
         # quantization); top-k columns are ordered, so both the query
         # (ma_query) and build (ma_build) paths slice the shared top-max
-        ma = (max(self.cfg.ma_query, self.cfg.ma_build)
-              if self.kf_counter > 0 else self.cfg.ma_build)
-        feats_d, words_d = prep_and_quantize(self.rparams, backbone_feat,
-                                             self.cfg.nfeat, ma)
+        if prefetched is not None:
+            feats_d, words_d = prefetched
+        else:
+            ma = (max(self.cfg.ma_query, self.cfg.ma_build)
+                  if self.kf_counter > 0 else self.cfg.ma_build)
+            feats_d, words_d = prep_and_quantize(self.rparams, backbone_feat,
+                                                 self.cfg.nfeat, ma)
         feats = np.asarray(feats_d)
         q_words = np.asarray(words_d)
         topk_inds: list = []

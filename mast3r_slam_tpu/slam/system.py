@@ -637,6 +637,9 @@ class SLAMSystem:
         )
         self.mode = Mode.INIT
         self.backend_queue: list = []
+        # kf store idx -> device handles from retrieval.prefetch (see
+        # backend_prefetch); transient, not checkpointed
+        self._retrieval_prefetch: dict = {}
         import threading
 
         self.state_lock = threading.Lock()
@@ -891,15 +894,46 @@ class SLAMSystem:
 
     # -- backend -------------------------------------------------------------
 
-    def backend_step(self):
+    def backend_prefetch(self):
+        """Dispatch the device half of the queued backend steps' retrieval
+        updates (prep+quantize, one tiny program per queued keyframe) so
+        they land in the device queue BEFORE the next window program.
+
+        The retrieval readback is the backend's only remaining
+        per-keyframe sync; dispatched after the window it stalls for the
+        full ~W*41 ms window compute, dispatched before it the readback
+        and the host-side IVF scoring overlap the window instead. Results
+        are bit-identical (retrieval.prefetch docstring). Call right
+        before ``dispatch_window``; ``backend_step`` consumes the handles.
+        """
+        if self.retrieval is None:
+            return
+        for idx in self.backend_queue:
+            if idx not in self._retrieval_prefetch:
+                # traced row index (one gather executable for every idx;
+                # a python-int slice would bake idx in and recompile
+                # remotely per keyframe)
+                feat = jnp.take(self.keyframes.feat, jnp.asarray(idx),
+                                axis=0)
+                self._retrieval_prefetch[idx] = self.retrieval.prefetch(feat)
+
+    def backend_step(self, flush_deferred=True):
         """Process one backend task (global opt or reloc).
 
         Spec: run_backend (main.py:74-142). Returns True if work was done.
+
+        ``flush_deferred=False`` (windowed drain): skip the deferred
+        edge-gate flush — the drain flushes ONCE before stepping, so the
+        second queued keyframe's step does not stall on the first's
+        just-dispatched decode+match program (the solve masks by the
+        device edge count while fracs are pending; factor_graph.add_factors
+        defer docs).
         """
-        # deferred edge-gate readbacks from the PREVIOUS backend step land
+        # deferred edge-gate readbacks from PREVIOUS backend steps land
         # here (their device work has long finished; the readback is a
         # transfer, not a stall) so stats/metrics stay near-exact
-        self.factor_graph.flush()
+        if flush_deferred:
+            self.factor_graph.flush()
         if self.reloc_pending:
             self.reloc_pending = False
             success = self._relocalize(self.current_frame)
@@ -929,11 +963,15 @@ class SLAMSystem:
             kf_idx.append(idx - 1 - j)
 
         if self.retrieval is not None:
-            frame = self.keyframes.get_frame(idx)
             rcfg = self.config["retrieval"]
+            pref = self._retrieval_prefetch.pop(idx, None)
+            # prefetch hit: skip get_frame entirely (its int(N[idx]) scalar
+            # readback is a hidden sync behind whatever is queued)
+            feat = (None if pref is not None
+                    else self.keyframes.get_frame(idx).feat)
             inds = self.retrieval.update(
-                frame.feat, add_after_query=True, k=int(rcfg["k"]),
-                min_thresh=float(rcfg["min_thresh"]))
+                feat, add_after_query=True, k=int(rcfg["k"]),
+                min_thresh=float(rcfg["min_thresh"]), prefetched=pref)
             lc = set(inds) - {idx - 1}
             if lc:
                 self.stats["loop_closures"] += len(lc)
@@ -1078,12 +1116,21 @@ class SLAMSystem:
                     # ship raw uint8 (4x less host->device traffic); the
                     # window program normalizes on device (mast3r.encode)
                     imgs_np.append(r.get("img_u8", r["img"]))
-                # dispatch the window, then drain backend work queued by
-                # PREVIOUS windows while the device runs this one (the
-                # backend's jitted steps queue behind the window through
-                # XLA data deps), and only then block on the stats readback
+                # dispatch the queued backend steps' retrieval prep FIRST
+                # (queue position => its readback and the host IVF overlap
+                # the window compute), then the window, then drain backend
+                # work queued by PREVIOUS windows while the device runs
+                # this one (the backend's jitted steps queue behind the
+                # window through XLA data deps), and only then block on
+                # the stats readback
+                self.backend_prefetch()
                 pending = self.dispatch_window(ids, imgs_np)
-                while self.backend_step():
+                # one flush for the whole drain (previous windows' backend
+                # programs have finished by now); the per-step flush would
+                # make the SECOND queued keyframe stall on the first's
+                # decode+match behind this window
+                self.factor_graph.flush()
+                while self.backend_step(flush_deferred=False):
                     pass
                 i += self.consume_window(pending)
             else:
@@ -1117,6 +1164,8 @@ class SLAMSystem:
             else:
                 time.sleep(0.01)
         self.mode = Mode.TERMINATED
+        # host bookkeeping catches up with the last deferred edge gates
+        # before stats/exports are read
         self.factor_graph.flush()
         if backend_thread is not None:
             backend_thread.join(timeout=10.0)

@@ -96,3 +96,26 @@ def test_vectorized_aggregation_matches_reference_loop():
 
     np.testing.assert_array_equal(ids, ref_ids)
     np.testing.assert_allclose(ades, ref, atol=1e-4)
+
+
+def test_prefetch_matches_inline():
+    """prefetch() handles must give the bit-identical query/build results
+    the inline dispatch produces (system.backend_prefetch relies on this;
+    the prefetched path always quantizes to top-max(ma_query, ma_build)
+    and slices, including for the very first keyframe)."""
+    db_a = _db(False, seed=5)
+    db_b = _db(False, seed=5)
+    frames = _frames(6, seed=7)
+    for i in range(6):
+        a = db_a.update(frames[i], add_after_query=True, k=3,
+                        min_thresh=0.0)
+        pref = db_b.prefetch(frames[i])
+        b = db_b.update(None, add_after_query=True, k=3, min_thresh=0.0,
+                        prefetched=pref)
+        assert a == b, (i, a, b)
+    # and a no-insert query through both paths
+    q = frames[3] + 0.01
+    a = db_a.update(q, add_after_query=False, k=3, min_thresh=0.0)
+    b = db_b.update(None, add_after_query=False, k=3, min_thresh=0.0,
+                    prefetched=db_b.prefetch(q))
+    assert a == b
