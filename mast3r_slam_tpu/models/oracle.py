@@ -32,17 +32,43 @@ from .mast3r import MASt3RConfig, downsample_maps
 
 def make_params(traj_WC, desc_dim: int = 8, sphere_center=(0.0, 0.0, 4.0),
                 sphere_radius: float = 1.5, plane_z: float = 7.0, seed: int = 0,
-                pix_noise: float = 0.0):
-    """Oracle 'weights': ground-truth trajectory + scene + descriptor field."""
+                pix_noise: float = 0.0, desc_freq: float = 2.0,
+                scene: str = "default"):
+    """Oracle 'weights': ground-truth trajectory + scene + descriptor field.
+
+    ``desc_freq`` scales the descriptor field's spatial frequency — the
+    default smooth field makes neighbouring pixels near-indistinguishable
+    inside the refine window, which collapses unique_frac to ~1/3 under any
+    motion (the degenerate natural-cadence regime, DEVELOPMENT.md round-4
+    note). ``scene="cluttered"`` replaces the single sphere with a spread of
+    spheres at varied depths (parallax everywhere); together these make the
+    keyframe statistic decay with viewpoint change the way real texture
+    does, so match-fraction keyframing (tracker.py:104-110) is exercised
+    meaningfully.
+    """
     key = jax.random.PRNGKey(seed)
-    return {
+    params = {
         "traj": jnp.asarray(traj_WC, jnp.float32),        # (N, 8) Sim3 T_WC
-        "desc_proj": jax.random.normal(key, (3, desc_dim)) * 2.0,
+        "desc_proj": jax.random.normal(key, (3, desc_dim)) * desc_freq,
         "sphere_c": jnp.asarray(sphere_center, jnp.float32),
         "sphere_r": jnp.asarray(sphere_radius, jnp.float32),
         "plane_z": jnp.asarray(plane_z, jnp.float32),
         "pix_noise": jnp.asarray(pix_noise, jnp.float32),
     }
+    if scene == "cluttered":
+        kc, kr = jax.random.split(jax.random.fold_in(key, 17))
+        K = 9
+        gx = jnp.tile(jnp.linspace(-2.2, 2.2, 3), 3)
+        gy = jnp.repeat(jnp.linspace(-1.4, 1.4, 3), 3)
+        centers = jnp.stack([
+            gx + 0.35 * jax.random.normal(kc, (K,)),
+            gy + 0.25 * jax.random.normal(jax.random.fold_in(kc, 1), (K,)),
+            3.0 + 3.2 * jax.random.uniform(jax.random.fold_in(kc, 2), (K,)),
+        ], axis=-1)
+        radii = 0.45 + 0.45 * jax.random.uniform(kr, (K,))
+        params["spheres_c"] = centers
+        params["spheres_r"] = radii
+    return params
 
 
 def make_frame_image(frame_id: int, h: int, w: int):
@@ -72,14 +98,26 @@ def _raycast_world(params, T_WC, cfg: MASt3RConfig):
 
     t, q, s = sim3.parts(T_WC)
     dir_w = s * sim3.quat_act(q, dirs)
-    oc = t - params["sphere_c"]
     a = jnp.sum(dir_w * dir_w, axis=-1)
-    b = 2.0 * dir_w @ oc
-    c = jnp.dot(oc, oc) - params["sphere_r"] ** 2
-    disc = b * b - 4 * a * c
-    hit = disc > 0
-    s_sph = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2 * a)
-    hit = hit & (s_sph > 1e-3)
+    if "spheres_c" in params:   # cluttered scene: nearest of K spheres
+        oc = t[None, :] - params["spheres_c"]              # (K, 3)
+        b = 2.0 * dir_w @ oc.T                             # (n, K)
+        c = jnp.sum(oc * oc, axis=-1) - params["spheres_r"] ** 2
+        disc = b * b - 4.0 * a[:, None] * c[None, :]
+        sk = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2 * a[:, None])
+        ok = (disc > 0) & (sk > 1e-3)
+        sk = jnp.where(ok, sk, jnp.inf)
+        s_sph = jnp.min(sk, axis=-1)
+        hit = jnp.isfinite(s_sph)
+        s_sph = jnp.where(hit, s_sph, 0.0)
+    else:
+        oc = t - params["sphere_c"]
+        b = 2.0 * dir_w @ oc
+        c = jnp.dot(oc, oc) - params["sphere_r"] ** 2
+        disc = b * b - 4 * a * c
+        hit = disc > 0
+        s_sph = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2 * a)
+        hit = hit & (s_sph > 1e-3)
     # background plane z = plane_z (world)
     denom = dir_w[:, 2]
     s_pl = (params["plane_z"] - t[2]) / jnp.where(jnp.abs(denom) < 1e-6,

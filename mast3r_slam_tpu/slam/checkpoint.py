@@ -122,6 +122,16 @@ def load_state(path, system):
         mode = Mode.TRACKING if kf.n_size else Mode.INIT
     system.mode = mode
     system.backend_queue = [int(x) for x in data["backend_queue"]]
+    # drop live prefetch handles: they were dispatched against pre-restore
+    # features and would otherwise be consumed for reused keyframe indices
+    # (backend_prefetch skips idxs already present in the dict)
+    system._retrieval_prefetch = {}
+    # tracker matches for queued consecutive edges are not checkpointed;
+    # the backend falls back to decoding those edges after a resume
+    system._consec_match = {}
+    bm = getattr(system, "_backend_mirror", None)
+    if bm is not None:   # re-mirror the restored store wholesale
+        bm.__init__(system.keyframes, bm.device)
     if system.retrieval is not None and "retrieval_kf_counter" in data:
         # rebuild the IVF from stored keyframe features (deterministic)
         system.retrieval.kf_counter = 0

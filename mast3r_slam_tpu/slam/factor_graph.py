@@ -200,6 +200,47 @@ def _add_factors_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
             n_new)
 
 
+@partial(jax.jit, donate_argnums=frame.donate_argnums(0, 1, 2, 3, 4))
+def _add_tracked_edge_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
+                            i, j, idx_j_per_i, valid_i, Q_i, e0):
+    """Append the two-way consecutive edge (i, j) from an EXISTING
+    frame->keyframe tracker match — no decode, no matching.
+
+    ``idx_j_per_i``: (P,) int32, for each pixel of keyframe i's grid the
+    matched pixel in keyframe j's grid (the tracker's idx_f2k at the moment
+    frame j was promoted). Edge row (ii=j, jj=i) consumes it directly (the
+    BA gathers Xs[ii] at idx per jj-pixel, ba.py _gather_points); row
+    (ii=i, jj=j) gets the scatter-inverse (deterministic: the smallest
+    i-pixel wins a collision). The reference decides every edge with a
+    fresh symmetric decode (mast3r_utils.py:142-180) — for the consecutive
+    pair the frontend already computed an equivalent correspondence set,
+    so this re-derivation is redundant device work; the deviation is
+    oracle-ATE-gated (tests/test_e2e_oracle.py) and opt-in per preset
+    (local_opt.reuse_consec_edge). Consecutive edges are exempt from the
+    min_match_frac gate (global_opt.py:72-74 consec exemption), so the
+    append is unconditional and needs NO readback at all.
+    """
+    P = idx_j_per_i.shape[0]
+    E_cap = ii_buf.shape[0]
+    ar = jnp.arange(P, dtype=jnp.int32)
+    src = jnp.where(valid_i, idx_j_per_i, P)         # invalid -> dropped
+    inv = jnp.full((P,), P, jnp.int32).at[src].min(ar, mode="drop")
+    valid_inv = inv < P
+    inv_safe = jnp.where(valid_inv, inv, 0)
+    Q_inv = jnp.where(valid_inv, jnp.take(Q_i, inv_safe), 0.0)
+
+    rows = jnp.stack([e0, e0 + 1])
+    rows = jnp.where(rows < E_cap, rows, E_cap)      # OOB rows dropped
+    return (ii_buf.at[rows].set(jnp.stack([j, i]), mode="drop"),
+            jj_buf.at[rows].set(jnp.stack([i, j]), mode="drop"),
+            idx_buf.at[rows].set(jnp.stack([idx_j_per_i, inv_safe]),
+                                 mode="drop"),
+            vm_buf.at[rows].set(jnp.stack([valid_i, valid_inv]),
+                                mode="drop"),
+            Q_buf.at[rows].set(jnp.stack([Q_i, Q_inv]), mode="drop"),
+            jnp.minimum(e0 + 2, E_cap))
+
+
 class MatchingConfig(NamedTuple):
     max_iter: int = 10
     lambda_init: float = 1e-8
@@ -234,7 +275,12 @@ class FactorGraph:
     def __init__(self, params, model_cfg, keyframes: KeyframeStore,
                  cfg: FactorGraphConfig, ba_cfg: ba.BAConfig,
                  mcfg: MatchingConfig, K=None, downsample: int = 1,
-                 model_module=mast3r, mesh=None):
+                 model_module=mast3r, mesh=None, device=None):
+        # ``device``: commit the edge buffers (and everything the graph's
+        # programs consume — params and keyframe fields must already live
+        # there; see parallel/backend_device.py) to a dedicated backend
+        # device, so decode+match+BA execute off the frontend chip
+        self.device = device
         self.mesh = mesh
         self.downsample = downsample
         self.model_mod = model_module
@@ -275,11 +321,14 @@ class FactorGraph:
         # forced device sync (locates time INSIDE the backend whale —
         # VERDICT r3 weak #1: ~0.6 s/keyframe was unattributed)
         self._stage_t = ({} if os.environ.get("FG_STAGE_TIMERS") else None)
-        self.ii = jnp.zeros((E,), jnp.int32)
-        self.jj = jnp.zeros((E,), jnp.int32)
-        self.idx_ii2jj = jnp.zeros((E, P), jnp.int32)
-        self.valid_match = jnp.zeros((E, P), bool)
-        self.Q = jnp.zeros((E, P), jnp.float32)
+        put = ((lambda a: jax.device_put(a, device)) if device is not None
+               else (lambda a: a))
+        self.n_edges_dev = put(self.n_edges_dev)
+        self.ii = put(jnp.zeros((E,), jnp.int32))
+        self.jj = put(jnp.zeros((E,), jnp.int32))
+        self.idx_ii2jj = put(jnp.zeros((E, P), jnp.int32))
+        self.valid_match = put(jnp.zeros((E, P), bool))
+        self.Q = put(jnp.zeros((E, P), jnp.float32))
 
     def ensure_capacity(self, n_edges: int) -> bool:
         """Grow the edge buffers (doubling) until they hold ``n_edges``.
@@ -393,10 +442,48 @@ class FactorGraph:
         self.n_edges_ub = self.n_edges
         return ok
 
+    def add_tracked_edge(self, i, j, idx_j_per_i, valid, Q):
+        """Append the consecutive edge (i, j) from the tracker's existing
+        match (see _add_tracked_edge_fused). Dispatch-only: consecutive
+        edges are gate-exempt, so the host count advances without any
+        readback; the record still rides the FIFO so deferred gates from
+        earlier add_factors dispatches reconcile in order."""
+        self.ensure_capacity(self.n_edges_ub + 2)
+        if self.device is not None:   # tracker match arrives from the
+            idx_j_per_i = jax.device_put(idx_j_per_i, self.device)
+            valid = jax.device_put(valid, self.device)   # frontend chip
+            Q = jax.device_put(Q, self.device)
+        t0 = time.perf_counter() if self._stage_t is not None else 0.0
+        (self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
+         self.n_edges_dev) = _add_tracked_edge_fused(
+            self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
+            jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32),
+            idx_j_per_i,
+            valid if valid.dtype == jnp.bool_ else valid.astype(bool),
+            Q.astype(jnp.float32), self.n_edges_dev)
+        self._mark("af.tracked_edge", t0)
+        rec = ("fixed", self.capacity)
+        if self._pending:
+            self._pending.append(rec)
+        else:
+            self._apply_gate(rec)
+        self.n_edges_ub = min(self.n_edges_ub + 2, self.capacity)
+        return True
+
     def _apply_gate(self, rec):
         """Host mirror of the device gate (identical f32 arithmetic) —
         reconciles n_edges / edges_dropped with the rows the program
         wrote. Applied in dispatch order (FIFO)."""
+        if rec[0] == "fixed":       # unconditional pair (add_tracked_edge)
+            cap_at_dispatch = rec[1]
+            if cap_at_dispatch - self.n_edges < 2:
+                self.edges_dropped += 2
+                print("FactorGraph: max_edge_capacity reached; dropping "
+                      f"a tracked consecutive edge (total dropped "
+                      f"{self.edges_dropped})")
+                return False
+            self.n_edges += 2
+            return True
         fracs, nb, consec, min_match_frac, cap_at_dispatch, is_reloc = rec
         fr = np.asarray(fracs)              # the ONE sync of the pipeline
         frac_j, frac_i = fr[0, :nb], fr[1, :nb]

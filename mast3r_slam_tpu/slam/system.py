@@ -200,7 +200,8 @@ def _track_frame_body(params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
                        skip.astype(jnp.float32),
                        res.failed.astype(jnp.float32)])
     return (idx_f2k, T_WCf, Xff, Cff, kf_X_new, kf_C_new, kf_N_new,
-            kf_NU_new, kf_score_new, frame_score, stats)
+            kf_NU_new, kf_score_new, frame_score, stats,
+            valid_match_k[:, 0], Qk[:, 0])
 
 
 _track_frame_fused = partial(jax.jit, static_argnames=(
@@ -221,6 +222,11 @@ class WindowOut(NamedTuple):
     Xff: jnp.ndarray         # (W, n, 3) per-frame canonical pointmaps
     Cff: jnp.ndarray         # (W, n, 1)
     idx_last: jnp.ndarray    # (n,) match-index warm start for the next window
+    # per-frame tracker match vs its carry keyframe (consumed by the
+    # consecutive-edge reuse path, local_opt.reuse_consec_edge):
+    idxs: jnp.ndarray        # (W, n) int32: per-kf-pixel -> frame pixel
+    valids: jnp.ndarray      # (W, n) bool matcher validity
+    Qks: jnp.ndarray         # (W, n) paired desc confidence
     prev_T_WC: jnp.ndarray   # (8,) last active frame pose
     feat_last: jnp.ndarray   # (n_patch, d) last active frame's features
     pos_last: jnp.ndarray    # (n_patch, 2)
@@ -281,11 +287,12 @@ def _track_window_body(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
     pos_last = poss_all[0]
 
     o_stats, o_T, o_Xff, o_Cff = [], [], [], []
+    o_idx, o_valid, o_Qk = [], [], []
     for t in range(W):
         feat_f = feats_all[t:t + 1]
         pos_f = poss_all[t:t + 1]
         (idx_f2k, T_WCf, Xff, Cff, kf_Xn, kf_Cn, kf_Nn, kf_NUn, kf_scn,
-         frame_score, stats) = _track_frame_body(
+         frame_score, stats, vmk, Qk) = _track_frame_body(
             params, cfg, mcfg, tcfg, feat_f, pos_f, feat_k, pos_k,
             idx[None], kf_X, kf_C, kf_N, kf_NU, kf_sc, kf_T, prev_T_WC, K,
             ds, fuse_mode, score_fn, use_calib, img_size, model_mod)
@@ -356,6 +363,9 @@ def _track_window_body(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
         o_T.append(T_WCf)
         o_Xff.append(Xff)
         o_Cff.append(Cff)
+        o_idx.append(idx_f2k)
+        o_valid.append(vmk)
+        o_Qk.append(Qk)
 
     # final flush of the current keyframe's carried state
     kX = kX.at[cur].set(kf_X)
@@ -367,7 +377,9 @@ def _track_window_body(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
     return WindowOut(
         hoststats=jnp.stack(o_stats), T_WCf=jnp.stack(o_T),
         feats=feats_all, poss=poss_all, Xff=jnp.stack(o_Xff),
-        Cff=jnp.stack(o_Cff), idx_last=idx, prev_T_WC=prev_T_WC,
+        Cff=jnp.stack(o_Cff), idx_last=idx,
+        idxs=jnp.stack(o_idx), valids=jnp.stack(o_valid),
+        Qks=jnp.stack(o_Qk), prev_T_WC=prev_T_WC,
         feat_last=feat_last, pos_last=pos_last,
         kX=kX, kC=kC, kN=kN, kNU=kNU, kscore=kscore, kT=kT, kfeat=kfeat,
         kpos=kpos, kdix=kdix)
@@ -403,6 +415,11 @@ class TrackerRunner:
         self.model_mod = mast3r
         self.idx_f2k = None
         self.last_stats = {}
+        # (idx_f2k, valid, Qk) of the most recently PROMOTED frame vs its
+        # previous keyframe; consumed by SLAMSystem.process_frame for the
+        # consecutive-edge reuse path (None on the reference-shaped
+        # step path, which the backend then covers by decoding)
+        self.last_match = None
 
     def reset_idx(self):
         self.idx_f2k = None
@@ -424,7 +441,7 @@ class TrackerRunner:
         K = self.K if self.K is not None else jnp.eye(3)
         row = _get_row_jit
         (idx_f2k, T_WCf, Xff, Cff, kf_X, kf_C, kf_N, kf_NU, kf_score,
-         frame_score, stats) = _track_frame_fused(
+         frame_score, stats, vmk, Qk) = _track_frame_fused(
             self.params, self.model_cfg, self.mcfg, self.tcfg,
             frame.feat[None], frame.pos[None],
             row(kfs.feat, last)[None], row(kfs.pos, last)[None],
@@ -465,6 +482,9 @@ class TrackerRunner:
         else:
             new_kf = min(st[1], st[2]) < self.tcfg.match_frac_thresh
         if new_kf:
+            # the promoted frame's match vs its (previous) keyframe — the
+            # consecutive-edge reuse path consumes it (backend_step)
+            self.last_match = (idx_f2k, vmk, Qk)
             self.reset_idx()
         return bool(new_kf), False
 
@@ -538,6 +558,7 @@ class TrackerRunner:
         else:
             new_kf = min(match_frac_k, unique_frac) < tcfg.match_frac_thresh
         if new_kf:
+            self.last_match = None   # step path: backend decodes the edge
             self.reset_idx()
         return new_kf, False
 
@@ -625,11 +646,29 @@ class SLAMSystem:
             use_calib=self.use_calib, K=K)
         self.tracker.downsample = ds
         self.tracker.model_mod = model_module
-        self.factor_graph = FactorGraph(params, model_cfg, self.keyframes,
+        # optional dedicated backend device (frontend/backend overlap on a
+        # multi-chip host — parallel/backend_device.py; the reference gets
+        # the same overlap from processes sharing one GPU, main.py:228)
+        self._backend_mirror = None
+        fg_params, fg_store, fg_device = params, self.keyframes, None
+        bd_spec = rt.get("backend_device", "none")
+        if bd_spec not in (None, "none", "None", 0, False, ""):
+            from ..parallel import backend_device as bdev
+
+            dev_b = bdev.pick_backend_device(bd_spec)
+            if dev_b is not None:
+                assert fg_cfg.ba_backend == "dense", (
+                    "backend_device combines with the dense BA backend "
+                    "only (the sharded backends already span the mesh)")
+                fg_params = jax.device_put(params, dev_b)
+                self._backend_mirror = bdev.BackendMirror(self.keyframes,
+                                                          dev_b)
+                fg_store, fg_device = self._backend_mirror, dev_b
+        self.factor_graph = FactorGraph(fg_params, model_cfg, fg_store,
                                         fg_cfg, ba_cfg, mcfg, K=K,
                                         downsample=ds,
                                         model_module=model_module,
-                                        mesh=mesh)
+                                        mesh=mesh, device=fg_device)
         self.retrieval = (
             RetrievalDatabase(retrieval_params,
                               config_mod.make_retrieval_config(config))
@@ -640,6 +679,15 @@ class SLAMSystem:
         # kf store idx -> device handles from retrieval.prefetch (see
         # backend_prefetch); transient, not checkpointed
         self._retrieval_prefetch: dict = {}
+        # kf store idx -> (idx_f2k, valid, Qk) tracker match of the
+        # promoted frame vs its previous keyframe: lets the backend build
+        # the consecutive edge WITHOUT a symmetric decode + dense match
+        # (local_opt.reuse_consec_edge; the decode+match is ~60% of the
+        # backend's per-keyframe device time). Transient, not checkpointed
+        # (a resumed run falls back to decoding those edges).
+        self._reuse_consec = bool(config.get("local_opt", {})
+                                  .get("reuse_consec_edge", False))
+        self._consec_match: dict = {}
         import threading
 
         self.state_lock = threading.Lock()
@@ -733,6 +781,9 @@ class SLAMSystem:
                 self.keyframes.append(frame)
                 self.stats["keyframes"] += 1
                 self.backend_queue.append(len(self.keyframes) - 1)
+                cm, self.tracker.last_match = self.tracker.last_match, None
+                if self._reuse_consec and cm is not None:
+                    self._consec_match[len(self.keyframes) - 1] = cm
             if self.metrics is not None:
                 self.metrics.log(event="track", frame=frame.frame_id,
                                  new_kf=bool(new_kf), reloc=bool(try_reloc),
@@ -838,6 +889,11 @@ class SLAMSystem:
                 self.stats["keyframes"] += 1
                 self.backend_queue.append(kfs.n_size - 1)
                 kfs.uimg[kfs.n_size - 1] = self._to_uimg(imgs_np[t])
+                if self._reuse_consec:
+                    # tiny queued slices (no sync); freeing the (W, n)
+                    # window outputs once all its keyframes are consumed
+                    self._consec_match[kfs.n_size - 1] = (
+                        out.idxs[t], out.valids[t], out.Qks[t])
             if self.metrics is not None:
                 self.metrics.log(event="track", frame=ids[t],
                                  new_kf=bool(new_kf), reloc=bool(skipped),
@@ -915,7 +971,16 @@ class SLAMSystem:
                 # remotely per keyframe)
                 feat = jnp.take(self.keyframes.feat, jnp.asarray(idx),
                                 axis=0)
-                self._retrieval_prefetch[idx] = self.retrieval.prefetch(feat)
+                handles = self.retrieval.prefetch(feat)
+                # start the D2H transfers now: by drain time the data is
+                # already host-side, so the backend's one remaining sync
+                # (the quantize readback) costs ~a memcpy, not a relay RTT
+                for a in handles:
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:
+                        pass
+                self._retrieval_prefetch[idx] = handles
 
     def backend_step(self, flush_deferred=True):
         """Process one backend task (global opt or reloc).
@@ -934,6 +999,8 @@ class SLAMSystem:
         # transfer, not a stall) so stats/metrics stay near-exact
         if flush_deferred:
             self.factor_graph.flush()
+        if self._backend_mirror is not None:
+            self._backend_mirror.sync()
         if self.reloc_pending:
             self.reloc_pending = False
             success = self._relocalize(self.current_frame)
@@ -957,10 +1024,19 @@ class SLAMSystem:
             return False
         idx = self.backend_queue[0]
 
+        # consecutive edge: reuse the tracker's existing frame->keyframe
+        # match instead of re-deciding it with a symmetric decode + dense
+        # match (the decode+match is the backend's device-time whale;
+        # local_opt.reuse_consec_edge). Falls back to the decode path when
+        # no match was captured (step-path tracking, resume, reinit).
+        cm = (self._consec_match.pop(idx, None)
+              if self._reuse_consec else None)
+
         kf_idx = []
         n_consec = 1
-        for j in range(min(n_consec, idx)):
-            kf_idx.append(idx - 1 - j)
+        if cm is None:
+            for j in range(min(n_consec, idx)):
+                kf_idx.append(idx - 1 - j)
 
         if self.retrieval is not None:
             rcfg = self.config["retrieval"]
@@ -977,7 +1053,10 @@ class SLAMSystem:
                 self.stats["loop_closures"] += len(lc)
             kf_idx += inds
 
-        kf_idx = list(set(kf_idx) - {idx})
+        drop = {idx} if cm is None else {idx, idx - 1}
+        kf_idx = list(set(kf_idx) - drop)
+        if cm is not None and idx > 0:
+            self.factor_graph.add_tracked_edge(idx - 1, idx, *cm)
         if kf_idx:
             # deferred gate: the decode+match dispatch is NOT synced here;
             # the solve below masks by the device edge count and the frac
@@ -1030,6 +1109,8 @@ class SLAMSystem:
         if not kf_idx:
             return False
         self.keyframes.append(frame)
+        if self._backend_mirror is not None:
+            self._backend_mirror.sync()   # the tentative keyframe's rows
         n_kf = len(self.keyframes)
         frame_idx = [n_kf - 1] * len(kf_idx)
         print(f"RELOCALIZING against kf {n_kf - 1} and {kf_idx}")
@@ -1042,8 +1123,14 @@ class SLAMSystem:
                                   k=int(rcfg["k"]),
                                   min_thresh=float(rcfg["min_thresh"]))
             # seed pose from the retrieved keyframe (main.py:61)
-            self.keyframes.T_WC = self.keyframes.T_WC.at[n_kf - 1].set(
-                self.keyframes.T_WC[kf_idx[0]])
+            if self._backend_mirror is not None:
+                self._backend_mirror.seed_pose(
+                    n_kf - 1, _get_row_jit(
+                        self.keyframes.T_WC,
+                        jnp.asarray(kf_idx[0], jnp.int32)))
+            else:
+                self.keyframes.T_WC = self.keyframes.T_WC.at[n_kf - 1].set(
+                    self.keyframes.T_WC[kf_idx[0]])
             self.stats["keyframes"] += 1
             if self.use_calib:
                 self.factor_graph.solve_GN_calib()

@@ -517,3 +517,58 @@ def test_deferred_add_factors_equivalent_to_sync():
     T_after = np.asarray(fg_d2.frames.T_WC[:n_kf])
     assert np.abs(T_after[1] - np.asarray(fg_d2.frames.T_WC[1])).max() == 0
     assert np.abs(T_after - T_before).max() > 1e-4   # solve DID move poses
+
+
+def test_add_tracked_edge_inversion_and_counts():
+    """FactorGraph.add_tracked_edge must write the two-way consecutive edge
+    from a tracker match with the correct index semantics: row (ii=j, jj=i)
+    carries idx_j_per_i directly, row (ii=i, jj=j) its deterministic
+    scatter-inverse (smallest source pixel wins a collision), and the
+    host/device edge counts advance without any readback."""
+    from mast3r_slam_tpu.slam.factor_graph import (FactorGraph,
+                                                   FactorGraphConfig,
+                                                   MatchingConfig)
+    from mast3r_slam_tpu.slam.frame import KeyframeStore
+
+    P = 8
+    kfs = KeyframeStore(4, P, 4, 8, (2, 4), donate=False)
+    kfs.n_size = 2
+    fg = FactorGraph(None, None, kfs, FactorGraphConfig(edge_capacity=8),
+                     ba.BAConfig(max_iters=1, point_chunk=P),
+                     MatchingConfig())
+
+    #                  i-pixel:   0  1  2  3  4  5  6  7
+    idx = jnp.asarray([3, 3, 0, 1, 5, 6, 7, 2], jnp.int32)
+    valid = jnp.asarray([1, 1, 1, 0, 1, 1, 1, 1], bool)   # pixel 3 invalid
+    Q = jnp.arange(P, dtype=jnp.float32) + 10.0
+    fg.add_tracked_edge(0, 1, idx, valid, Q)
+
+    assert fg.n_edges == 2 and int(fg.n_edges_dev) == 2
+    assert np.asarray(fg.ii[:2]).tolist() == [1, 0]
+    assert np.asarray(fg.jj[:2]).tolist() == [0, 1]
+    # forward row: the tracker match verbatim
+    np.testing.assert_array_equal(np.asarray(fg.idx_ii2jj[0]),
+                                  np.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(fg.valid_match[0]),
+                                  np.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(fg.Q[0]), np.asarray(Q))
+    # inverse row: j-pixel -> smallest i-pixel that mapped to it; j pixels
+    # 3 (from i=0, collision with i=1), 0 (i=2), 5..7 (i=4..6), 2 (i=7)
+    # are covered; j pixels 1 (only via invalid i=3) and 4 are not
+    inv = np.asarray(fg.idx_ii2jj[1])
+    vinv = np.asarray(fg.valid_match[1])
+    qinv = np.asarray(fg.Q[1])
+    expect_inv = {3: 0, 0: 2, 5: 4, 6: 5, 7: 6, 2: 7}
+    for jpix in range(P):
+        if jpix in expect_inv:
+            assert vinv[jpix]
+            assert inv[jpix] == expect_inv[jpix]
+            assert qinv[jpix] == 10.0 + expect_inv[jpix]
+        else:
+            assert not vinv[jpix]
+            assert qinv[jpix] == 0.0
+
+    # a second tracked edge keeps counts in lockstep
+    fg.add_tracked_edge(1, 2, idx, valid, Q)
+    assert fg.n_edges == 4 and int(fg.n_edges_dev) == 4
+    assert np.asarray(fg.ii[2:4]).tolist() == [2, 1]

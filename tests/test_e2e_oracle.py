@@ -263,3 +263,52 @@ def test_ba_point_stride_no_major_regression():
     rmse_full = run(1)
     rmse_sub = run(4)
     assert rmse_sub <= 1.15 * rmse_full + 1e-6, (rmse_full, rmse_sub)
+
+
+def test_reuse_consec_edge_no_major_regression():
+    """local_opt.reuse_consec_edge (the tpu_fast backend cost lever: the
+    consecutive edge is built from the tracker's existing match instead of
+    a fresh symmetric decode + match) must stay within a small factor of
+    the decode-every-edge trajectory on the oracle regression, with the
+    same keyframes and a healthy edge set."""
+    n_frames = 10
+    h, w = CFG.img_size
+    traj = _gt_trajectory(n_frames)
+    params = oracle.make_params(traj, desc_dim=CFG.desc_dim)
+
+    def run(reuse):
+        cfg = dict(config_mod.default_config())
+        cfg["tracking"] = dict(cfg["tracking"])
+        cfg["tracking"]["match_frac_thresh"] = 0.95
+        cfg["local_opt"] = dict(cfg["local_opt"],
+                                reuse_consec_edge=reuse)
+        system = SLAMSystem(params, CFG, cfg, (h, w), keyframe_capacity=16,
+                            edge_capacity=64, model_module=oracle)
+        for i in range(n_frames):
+            frame = system.make_frame(i, oracle.make_frame_image(i, h, w))
+            system.process_frame(frame)
+            while system.backend_step():
+                pass
+        n = len(system.keyframes)
+        ids = np.asarray(system.keyframes.dataset_idx[:n])
+        T_est = np.asarray(system.keyframes.T_WC[:n])
+        T_gt = np.asarray(traj)[ids]
+        s, R, t = ate.umeyama_alignment(T_est[:, :3], T_gt[:, :3])
+        aligned = (s * (R @ T_est[:, :3].T)).T + t
+        rmse = float(np.sqrt((np.linalg.norm(aligned - T_gt[:, :3], axis=1)
+                              ** 2).mean()))
+        return rmse, system
+
+    rmse_dec, sys_dec = run(False)
+    rmse_reuse, sys_reuse = run(True)
+    assert sys_reuse.stats["skipped"] == 0
+    assert len(sys_reuse.keyframes) == len(sys_dec.keyframes)
+    # every consecutive pair still produced a two-way edge
+    n_kf = len(sys_reuse.keyframes)
+    e = sys_reuse.factor_graph.n_edges
+    ii = np.asarray(sys_reuse.factor_graph.ii[:e])
+    jj = np.asarray(sys_reuse.factor_graph.jj[:e])
+    pairs = set(zip(ii.tolist(), jj.tolist()))
+    for k in range(1, n_kf):
+        assert (k, k - 1) in pairs and (k - 1, k) in pairs, (k, pairs)
+    assert rmse_reuse <= 1.2 * rmse_dec + 1e-6, (rmse_dec, rmse_reuse)
