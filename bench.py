@@ -71,11 +71,14 @@ class _ArrayDataset:
         return float(i), self.frames[i]
 
 
-def _make_traj(n_frames, phase):
+def _make_traj(n_frames, phase, step_scale=1.0):
     """Smooth orbit keeping the oracle scene in view (~8 px/frame apparent
-    motion at 512x384). ``phase`` != 0 perturbs the start pose and the
-    lateral sweep so every array VALUE differs between the warm and timed
-    passes (relay value-cache, quirk 4) with identical control flow."""
+    motion at 512x384 at step_scale 1). ``phase`` != 0 perturbs the start
+    pose and the lateral sweep so every array VALUE differs between the
+    warm and timed passes (relay value-cache, quirk 4) with identical
+    control flow. Natural-cadence runs (BENCH_KF_EVERY=0) use a larger
+    step so the keyframe statistic crosses its threshold every ~6-9
+    frames (scripts/probe_unique_frac.py)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -86,7 +89,7 @@ def _make_traj(n_frames, phase):
     Ts = [start]
     for i in range(1, n_frames):
         xi = jnp.asarray([0.03, 0.01 * np.sin((i + 3.0 * phase) / 5.0),
-                          0.008, 0.0, 0.012, 0.002, 0.0])
+                          0.008, 0.0, 0.012, 0.002, 0.0]) * step_scale
         Ts.append(sim3.mul(Ts[-1], sim3.exp(xi)))
     return jnp.stack(Ts)
 
@@ -130,7 +133,7 @@ def _assert_healthy(system, n_frames, kf_every):
 
 
 def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
-              threaded=False, repeats=1):
+              threaded=False, repeats=1, desc_freq=2.0, step_scale=1.0):
     import numpy as np
 
     from mast3r_slam_tpu import config as config_mod
@@ -155,8 +158,9 @@ def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
 
     def run_pass(phase, seed, nf=None):
         nf = n_frames if nf is None else nf
-        traj = _make_traj(nf, phase)
-        oparams = oracle.make_params(traj, desc_dim=model_cfg.desc_dim)
+        traj = _make_traj(nf, phase, step_scale)
+        oparams = oracle.make_params(traj, desc_dim=model_cfg.desc_dim,
+                                     desc_freq=desc_freq)
         params = oracle_timing.make_params(net_params, oparams)
         system = SLAMSystem(params, model_cfg, cfg, (h, w),
                             retrieval_params=rparams,
@@ -333,10 +337,26 @@ def main():
             jax.random.PRNGKey(1), backbone_dim=model_cfg.enc_embed_dim,
             codebook_size=int(os.environ.get("BENCH_CODEBOOK", "65536")))
         repeats = int(os.environ.get("BENCH_E2E_REPEATS", "3"))
+        # natural cadence (BENCH_KF_EVERY=0): the default fixture's smooth
+        # descriptor field pins unique_frac at the keyframe threshold
+        # (degenerate; DEVELOPMENT.md round-4 note) — use the sharp-
+        # descriptor fixture + a larger step so keyframing is the
+        # algorithm's own meaningful choice (~every 6-9 frames;
+        # scripts/probe_unique_frac.py sweep)
+        natural = kf_every == 0
+        desc_freq = float(os.environ.get("BENCH_DESC_FREQ",
+                                         "20.0" if natural else "2.0"))
+        step_scale = float(os.environ.get("BENCH_STEP_SCALE",
+                                          "3.0" if natural else "1.0"))
         fps_e2e, sys_t, all_fps = bench_e2e(params, rparams, model_cfg, h,
                                             w, W, kf_every, n_frames,
                                             threaded=threaded,
-                                            repeats=repeats)
+                                            repeats=repeats,
+                                            desc_freq=desc_freq,
+                                            step_scale=step_scale)
+        if natural:
+            result["desc_freq"] = desc_freq
+            result["step_scale"] = step_scale
         if threaded:
             result["metric"] = "end_to_end_fps_per_chip_threaded"
         if len(all_fps) > 1:

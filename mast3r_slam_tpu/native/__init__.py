@@ -45,6 +45,13 @@ def load():
     lib.asmk_ivf_n_images.argtypes = [ptr]
     lib.asmk_ivf_add.argtypes = [ptr, ptr, ptr, i64, i64]
     lib.asmk_ivf_search.argtypes = [ptr, ptr, ptr, i64, dbl, dbl, ptr]
+    try:   # serialization entry points (rebuild the .so if stale)
+        lib.asmk_ivf_n_entries.restype = i64
+        lib.asmk_ivf_n_entries.argtypes = [ptr]
+        lib.asmk_ivf_export.argtypes = [ptr, ptr, ptr, ptr]
+        lib.asmk_ivf_import.argtypes = [ptr, ptr, ptr, ptr, i64]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 
@@ -77,6 +84,31 @@ class NativeIVF:
         words = np.ascontiguousarray(words, dtype=np.int64)
         self.lib.asmk_ivf_add(self.handle, _cptr(packed), _cptr(words),
                               len(words), int(imid))
+
+    def flat_state(self):
+        """Export all posting entries as flat arrays (checkpoint resume;
+        the numpy IVF's state_dict equivalent, inverted_file.py:131-154)."""
+        n = int(self.lib.asmk_ivf_n_entries(self.handle))
+        wpv = (self.dim + 63) // 64
+        vecs = np.zeros((n, wpv), dtype=np.uint64)
+        words = np.zeros(n, dtype=np.int64)
+        imids = np.zeros(n, dtype=np.int64)
+        if n:
+            self.lib.asmk_ivf_export(self.handle, _cptr(vecs), _cptr(words),
+                                     _cptr(imids))
+        return {"kind": "native", "n_words": self.n_words, "dim": self.dim,
+                "vecs": vecs, "words": words, "imids": imids}
+
+    @classmethod
+    def from_flat(cls, state):
+        ivf = cls(int(state["n_words"]), int(state["dim"]))
+        vecs = np.ascontiguousarray(state["vecs"], dtype=np.uint64)
+        words = np.ascontiguousarray(state["words"], dtype=np.int64)
+        imids = np.ascontiguousarray(state["imids"], dtype=np.int64)
+        if len(words):
+            ivf.lib.asmk_ivf_import(ivf.handle, _cptr(vecs), _cptr(words),
+                                    _cptr(imids), len(words))
+        return ivf
 
     def search_packed(self, packed: np.ndarray, words: np.ndarray,
                       alpha: float, sim_thresh: float) -> np.ndarray:

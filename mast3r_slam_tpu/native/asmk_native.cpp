@@ -109,6 +109,54 @@ void asmk_ivf_add(void* handle, const uint64_t* packed, const int64_t* words,
   }
 }
 
+// --- serialization (O(1) checkpoint resume; the numpy IVF already has
+// state_dict/from_state, inverted_file.py:131-154 is the reference shape) --
+
+// Total posting entries across all words (rows of the export arrays).
+int64_t asmk_ivf_n_entries(void* handle) {
+  IVF* ivf = static_cast<IVF*>(handle);
+  int64_t n = 0;
+  for (const auto& pl : ivf->lists) n += pl.count;
+  return n;
+}
+
+// Dump every posting entry: packed vecs (n_entries * wpv u64), word ids and
+// image ids (n_entries i64). Order: by word, then insertion order — the
+// exact append order asmk_ivf_import replays.
+void asmk_ivf_export(void* handle, uint64_t* vecs_out, int64_t* words_out,
+                     int64_t* imids_out) {
+  IVF* ivf = static_cast<IVF*>(handle);
+  int64_t r = 0;
+  for (int64_t w = 0; w < ivf->n_words; ++w) {
+    const PostingList& pl = ivf->lists[w];
+    for (int64_t j = 0; j < pl.count; ++j, ++r) {
+      std::memcpy(vecs_out + r * ivf->wpv, pl.vecs.data() + j * ivf->wpv,
+                  sizeof(uint64_t) * ivf->wpv);
+      words_out[r] = w;
+      imids_out[r] = pl.imids[j];
+    }
+  }
+}
+
+// Bulk append with PER-ENTRY image ids (asmk_ivf_add takes one imid for the
+// whole batch); norm_factor accumulates exactly as the original adds did.
+void asmk_ivf_import(void* handle, const uint64_t* packed,
+                     const int64_t* words, const int64_t* imids, int64_t n) {
+  IVF* ivf = static_cast<IVF*>(handle);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t imid = imids[i];
+    if (imid + 1 > (int64_t)ivf->norm_factor.size())
+      ivf->norm_factor.resize(imid + 1, 0.0);
+    if (imid + 1 > ivf->n_images) ivf->n_images = imid + 1;
+    PostingList& pl = ivf->lists[words[i]];
+    pl.vecs.insert(pl.vecs.end(), packed + i * ivf->wpv,
+                   packed + (i + 1) * ivf->wpv);
+    pl.imids.push_back(imid);
+    pl.count++;
+    ivf->norm_factor[imid] += 1.0;
+  }
+}
+
 // Score a query (n aggregated packed descriptors + word ids) against the
 // database; writes scores for images [0, n_images) into scores_out.
 void asmk_ivf_search(void* handle, const uint64_t* packed,

@@ -60,6 +60,12 @@ def save_state(path, system):
     if system.retrieval is not None:
         arrays["retrieval_kf_counter"] = np.asarray(
             system.retrieval.kf_counter)
+        # flat IVF snapshot => O(1) resume (no per-keyframe re-quantization
+        # replay; load falls back to replay if the snapshot's engine kind
+        # isn't available on the resuming host)
+        st = system.retrieval.state_dict()
+        for k, v in st.items():
+            arrays[f"ivf_{k}"] = np.asarray(v)
     if system.tracker.idx_f2k is not None:
         arrays["tracker_idx_f2k"] = np.asarray(system.tracker.idx_f2k)
     if system.current_frame is not None:
@@ -133,12 +139,19 @@ def load_state(path, system):
     if bm is not None:   # re-mirror the restored store wholesale
         bm.__init__(system.keyframes, bm.device)
     if system.retrieval is not None and "retrieval_kf_counter" in data:
-        # rebuild the IVF from stored keyframe features (deterministic)
-        system.retrieval.kf_counter = 0
-        n = int(data["retrieval_kf_counter"])
-        for i in range(min(n, kf.n_size)):
-            system.retrieval.update(kf.get_frame(i).feat,
-                                    add_after_query=True, k=1)
+        restored = False
+        if "ivf_kind" in data:   # O(1): direct flat-IVF restore
+            st = {k[len("ivf_"):]: data[k] for k in data.files
+                  if k.startswith("ivf_")}
+            restored = system.retrieval.load_state_dict(st)
+        if not restored:
+            # fallback: rebuild the IVF from stored keyframe features
+            # (deterministic; O(n) device dispatches)
+            system.retrieval.kf_counter = 0
+            n = int(data["retrieval_kf_counter"])
+            for i in range(min(n, kf.n_size)):
+                system.retrieval.update(kf.get_frame(i).feat,
+                                        add_after_query=True, k=1)
     if "tracker_idx_f2k" in data:
         system.tracker.idx_f2k = jnp.asarray(data["tracker_idx_f2k"])
     if "current_T_WC" in data and system.current_frame is None:

@@ -134,11 +134,7 @@ def _gate_edges(m, Q_conf, query_stride=1):
             valid_i.mean(axis=1) * query_stride)
 
 
-@partial(jax.jit,
-         static_argnames=("cfg", "mcfg", "ds", "matcher", "model_mod",
-                          "query_stride"),
-         donate_argnums=frame.donate_argnums(0, 1, 2, 3, 4))
-def _add_factors_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
+def _add_factors_body(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
                        params, feat, pos, ii_arr, jj_arr, valid_b, consec,
                        e0, min_match_frac, strict, Q_conf,
                        cfg, mcfg, ds, matcher, model_mod,
@@ -200,8 +196,20 @@ def _add_factors_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
             n_new)
 
 
-@partial(jax.jit, donate_argnums=frame.donate_argnums(0, 1, 2, 3, 4))
-def _add_tracked_edge_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
+# donated (in-place) variant for single-threaded runs; a copying variant
+# for the concurrent backend-thread mode — donation would delete edge
+# buffers still referenced by viewer/exporter snapshots taken on another
+# thread (the KeyframeStore makes the same donate-iff-single-thread choice,
+# frame.py; cf. the reference's RLock'd shared tensors)
+_AF_STATIC = ("cfg", "mcfg", "ds", "matcher", "model_mod", "query_stride")
+_add_factors_fused = partial(
+    jax.jit, static_argnames=_AF_STATIC,
+    donate_argnums=frame.donate_argnums(0, 1, 2, 3, 4))(_add_factors_body)
+_add_factors_fused_copy = partial(
+    jax.jit, static_argnames=_AF_STATIC)(_add_factors_body)
+
+
+def _add_tracked_edge_body(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
                             i, j, idx_j_per_i, valid_i, Q_i, e0):
     """Append the two-way consecutive edge (i, j) from an EXISTING
     frame->keyframe tracker match — no decode, no matching.
@@ -241,6 +249,12 @@ def _add_tracked_edge_fused(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
             jnp.minimum(e0 + 2, E_cap))
 
 
+_add_tracked_edge_fused = jax.jit(
+    _add_tracked_edge_body,
+    donate_argnums=frame.donate_argnums(0, 1, 2, 3, 4))
+_add_tracked_edge_fused_copy = jax.jit(_add_tracked_edge_body)
+
+
 class MatchingConfig(NamedTuple):
     max_iter: int = 10
     lambda_init: float = 1e-8
@@ -275,12 +289,20 @@ class FactorGraph:
     def __init__(self, params, model_cfg, keyframes: KeyframeStore,
                  cfg: FactorGraphConfig, ba_cfg: ba.BAConfig,
                  mcfg: MatchingConfig, K=None, downsample: int = 1,
-                 model_module=mast3r, mesh=None, device=None):
+                 model_module=mast3r, mesh=None, device=None,
+                 donate: bool = True):
         # ``device``: commit the edge buffers (and everything the graph's
         # programs consume — params and keyframe fields must already live
         # there; see parallel/backend_device.py) to a dedicated backend
         # device, so decode+match+BA execute off the frontend chip
         self.device = device
+        # donated in-place edge-buffer updates are only safe when nothing
+        # else can hold references to the buffers (single-controller mode);
+        # the concurrent backend-thread mode copies instead
+        self._af_fused = (_add_factors_fused if donate
+                          else _add_factors_fused_copy)
+        self._ate_fused = (_add_tracked_edge_fused if donate
+                           else _add_tracked_edge_fused_copy)
         self.mesh = mesh
         self.downsample = downsample
         self.model_mod = model_module
@@ -418,7 +440,7 @@ class FactorGraph:
         # program clamps via OOB drops
         self.ensure_capacity(self.n_edges_ub + 2 * nb)
         (self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
-         fracs, self.n_edges_dev) = _add_factors_fused(
+         fracs, self.n_edges_dev) = self._af_fused(
             self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
             self.params, self.frames.feat, self.frames.pos,
             jnp.asarray(ii_arr), jnp.asarray(jj_arr),
@@ -455,7 +477,7 @@ class FactorGraph:
             Q = jax.device_put(Q, self.device)
         t0 = time.perf_counter() if self._stage_t is not None else 0.0
         (self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
-         self.n_edges_dev) = _add_tracked_edge_fused(
+         self.n_edges_dev) = self._ate_fused(
             self.ii, self.jj, self.idx_ii2jj, self.valid_match, self.Q,
             jnp.asarray(i, jnp.int32), jnp.asarray(j, jnp.int32),
             idx_j_per_i,

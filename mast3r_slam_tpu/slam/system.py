@@ -668,7 +668,8 @@ class SLAMSystem:
                                         fg_cfg, ba_cfg, mcfg, K=K,
                                         downsample=ds,
                                         model_module=model_module,
-                                        mesh=mesh, device=fg_device)
+                                        mesh=mesh, device=fg_device,
+                                        donate=self.single_thread)
         self.retrieval = (
             RetrievalDatabase(retrieval_params,
                               config_mod.make_retrieval_config(config))

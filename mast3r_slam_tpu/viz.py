@@ -228,6 +228,8 @@ def live_html(token=""):
     visualization.py:324-332)."""
     html = _VIEWER_HTML.replace(
         "__EXTRA_HUD__",
+        '&nbsp; conf <input id="confs" type="range" min="0" max="5"'
+        ' value="1.5" step="0.1">'
         '&nbsp; <button id="pauseb">pause</button>'
         '<button id="stepb">step</button>')
     return html.replace("__INIT_JS__",
@@ -351,4 +353,5 @@ poll();
 const ctrl=q=>fetch("/ctrl?"+q+"&t=__TOKEN__",{method:"POST"});
 document.getElementById("pauseb").onclick=()=>ctrl("toggle=1");
 document.getElementById("stepb").onclick=()=>ctrl("step=1");
+document.getElementById("confs").onchange=e=>ctrl("conf="+e.target.value);
 """

@@ -112,6 +112,9 @@ class LiveViewer:
         # it (and POST), so a hostile web page in the operator's browser
         # cannot CSRF pause/resume a multi-hour run with a bare GET
         self.token = secrets.token_hex(8)
+        self._last_snap = None   # (keyframes, factor_graph) refs from the
+        #                          latest update() — lets a /ctrl conf
+        #                          change re-render without a new frame
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -147,6 +150,15 @@ class LiveViewer:
                 if q.get("t", [""])[0] != viewer.token:
                     self._send(403, "text/plain", b"bad token")
                     return
+                if "conf" in q:
+                    # runtime confidence-threshold control (the reference
+                    # viewer's C_conf_threshold slider, WindowMsg at
+                    # visualization.py:324-332); re-renders the served
+                    # scene immediately, even while paused
+                    try:
+                        viewer.set_conf_threshold(float(q["conf"][0]))
+                    except ValueError:
+                        pass
                 was_paused = viewer.paused
                 if "toggle" in q:
                     viewer.paused = not viewer.paused
@@ -196,6 +208,25 @@ class LiveViewer:
                       if system.factor_graph is not None else None)
         else:
             kfs, fg = system.keyframes, system.factor_graph
+        self._last_snap = (kfs, fg)
+        scene = viz.build_scene(kfs, self.c_conf_threshold,
+                                self.max_points, fg)
+        blob = pack_scene(scene, n_kf=len(kfs), frame=self._frame,
+                          paused=self.paused)
+        with self._blob_lock:
+            self._blob = blob
+
+    def set_conf_threshold(self, value: float):
+        """Change the point-cloud confidence threshold at runtime and
+        re-render the served scene from the latest snapshot (so the slider
+        works while the run is paused too). The next run-loop ``update``
+        also picks the new threshold up immediately."""
+        self.c_conf_threshold = float(value)
+        self._last_update = 0.0
+        snap = self._last_snap
+        if snap is None:
+            return
+        kfs, fg = snap
         scene = viz.build_scene(kfs, self.c_conf_threshold,
                                 self.max_points, fg)
         blob = pack_scene(scene, n_kf=len(kfs), frame=self._frame,

@@ -33,9 +33,12 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def make_traj(n_frames):
+def make_traj(n_frames, step_scale=1.0):
     """Smooth orbit keeping the oracle scene in view (~8 px/frame apparent
-    motion at 512x384 — same regime as bench.py's e2e trajectory)."""
+    motion at 512x384 at step_scale 1 — same regime as bench.py's e2e
+    trajectory; natural-cadence runs use a larger step so the keyframe
+    statistic crosses the threshold every ~6-9 frames, scripts/
+    probe_unique_frac.py)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -44,7 +47,7 @@ def make_traj(n_frames):
     Ts = [sim3.identity()]
     for i in range(1, n_frames):
         xi = jnp.asarray([0.03, 0.01 * np.sin(i / 5.0), 0.008,
-                          0.0, 0.012, 0.002, 0.0])
+                          0.0, 0.012, 0.002, 0.0]) * step_scale
         Ts.append(sim3.mul(Ts[-1], sim3.exp(xi)))
     return jnp.stack(Ts)
 
@@ -66,7 +69,8 @@ def rel_ate(system, traj):
     return rmse / max(extent, 1e-9), n
 
 
-def run_preset(preset, n_frames, h, w, kf_every=0):
+def run_preset(preset, n_frames, h, w, kf_every=0,
+               desc_freq=2.0, step_scale=1.0):
     from mast3r_slam_tpu import config as config_mod
     from mast3r_slam_tpu.models import oracle
     from mast3r_slam_tpu.models.mast3r import MASt3RConfig
@@ -82,8 +86,9 @@ def run_preset(preset, n_frames, h, w, kf_every=0):
         cfg["tracking"] = dict(cfg["tracking"], kf_every=kf_every)
     model_cfg = MASt3RConfig(img_size=(h, w), desc_dim=24)
 
-    traj = make_traj(n_frames)
-    params = oracle.make_params(traj, desc_dim=model_cfg.desc_dim)
+    traj = make_traj(n_frames, step_scale)
+    params = oracle.make_params(traj, desc_dim=model_cfg.desc_dim,
+                                desc_freq=desc_freq)
     system = SLAMSystem(params, model_cfg, cfg, (h, w),
                         keyframe_capacity=32, edge_capacity=64,
                         model_module=oracle)
@@ -109,6 +114,12 @@ def main():
     ap.add_argument("--kf-every", type=int, default=0,
                     help="0 = natural cadence (degenerate on this fixture "
                          "at 512x384; see DEVELOPMENT.md)")
+    ap.add_argument("--desc-freq", type=float, default=2.0,
+                    help="descriptor field frequency; ~20 de-degenerates "
+                         "natural-cadence keyframing (probe_unique_frac)")
+    ap.add_argument("--step-scale", type=float, default=1.0,
+                    help="trajectory step multiplier (natural-cadence runs "
+                         "use 3-4 for a ~6-9 frame keyframe interval)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -129,7 +140,8 @@ def main():
         print(f"running preset {preset} ({args.frames} frames at 512x384; "
               "expect minutes of remote compiles on a fresh process)...",
               file=sys.stderr, flush=True)
-        r = run_preset(preset, args.frames, 384, 512, args.kf_every)
+        r = run_preset(preset, args.frames, 384, 512, args.kf_every,
+                       args.desc_freq, args.step_scale)
         print(json.dumps(r), flush=True)
         results.append(r)
     return results

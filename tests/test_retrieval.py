@@ -119,3 +119,53 @@ def test_prefetch_matches_inline():
     b = db_b.update(None, add_after_query=False, k=3, min_thresh=0.0,
                     prefetched=db_b.prefetch(q))
     assert a == b
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_ivf_flat_state_roundtrip(use_native):
+    """state_dict/load_state_dict must reproduce identical query results —
+    the O(1) checkpoint-resume path (no per-keyframe replay)."""
+    db = _db(use_native)
+    if use_native and db.native is None:
+        pytest.skip("native lib not built")
+    frames = _frames(6)
+    for i in range(6):
+        db.update(frames[i], add_after_query=True, k=3)
+
+    st = db.state_dict()
+    # simulate npz round trip (arrays only, no pickled objects)
+    st_np = {k: np.asarray(v) for k, v in st.items()}
+    for v in st_np.values():
+        assert v.dtype != object
+
+    db2 = _db(use_native)
+    assert db2.load_state_dict(st_np)
+    assert db2.kf_counter == db.kf_counter
+
+    for i in range(6):
+        a = db.update(frames[i], add_after_query=False, k=3)
+        b = db2.update(frames[i], add_after_query=False, k=3)
+        assert a == b
+
+    # continued inserts behave identically too
+    extra = _frames(2, seed=9)
+    a = db.update(extra[0], add_after_query=True, k=3)
+    b = db2.update(extra[0], add_after_query=True, k=3)
+    assert a == b and db.kf_counter == db2.kf_counter
+
+
+def test_ivf_kind_mismatch_falls_back():
+    """A native-IVF snapshot restored into a numpy-IVF database (or vice
+    versa) must be REFUSED (packings differ) so the caller replays."""
+    db_np = _db(False)
+    frames = _frames(3)
+    for i in range(3):
+        db_np.update(frames[i], add_after_query=True, k=2)
+    st = {k: np.asarray(v) for k, v in db_np.state_dict().items()}
+
+    db_nat = _db(True)
+    if db_nat.native is not None:
+        assert not db_nat.load_state_dict(st)
+
+    st_bad = dict(st, kind=np.asarray("unknown"))
+    assert not _db(False).load_state_dict(st_bad)

@@ -32,7 +32,8 @@ def test_partition_separator_and_ownership():
     n_kf, P = 12, 16
     ii, jj, idx, valid, Q, mask = _edges(n_kf, P, extra=[(0, 11), (2, 9)])
     part, order, keep = schur.schur_partition(ii, jj, mask, K_cap=12,
-                                              n_shards=4)
+                                              n_shards=4,
+                                              method="contiguous")
     ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.reorder_edges(
         order, keep, ii, jj, idx, valid, Q, mask)
     assert part.I_cap == 3
@@ -248,3 +249,46 @@ def test_separator_dominated_regime():
     part, _, _ = schur.schur_partition(ii, jj, m, K_cap=64, n_shards=2)
     assert not schur.separator_dominated(part, 64)
     assert schur.separator_dominated(part, 0) is False
+
+
+def test_greedy_partition_beats_contiguous_on_loop_closures():
+    """Connectivity-aware partitioning (VERDICT r4 directive #6): on a
+    loop-closure-heavy revisit graph the contiguous id split is
+    separator-dominated (every loop edge cut), while the greedy partition
+    keeps the revisited segment with its partner — separator fraction
+    < 0.25 — and the Schur solve still matches the dense solver."""
+    assert jax.device_count() >= 2
+    key = jax.random.PRNGKey(3)
+    n_kf, P = 24, 64
+    # chain 0..23 plus a revisit: frames 18..23 close loops against 0..5
+    loops = [(i, i + 18) for i in range(6)]
+    T_true, T_init, Xs, Cs, ii, jj, idx, valid, Q, mask = _setup(
+        key, n_kf, P, extra=loops)
+
+    part_c, _, _ = schur.schur_partition(ii, jj, mask, K_cap=n_kf,
+                                         n_shards=2, method="contiguous")
+    assert schur.separator_dominated(part_c, n_kf)   # the r4 failure mode
+
+    part, order, keep = schur.schur_partition(ii, jj, mask, K_cap=n_kf,
+                                              n_shards=2)
+    n_sep = int((np.asarray(part.sep_slot[:n_kf]) >= 0).sum())
+    assert n_sep / n_kf < 0.25, (n_sep, np.asarray(part.owner))
+    assert not schur.separator_dominated(part, n_kf)
+    # balanced blocks within capacity
+    counts = np.bincount(part.owner, minlength=2)
+    assert counts.max() <= part.I_cap == 12
+
+    cfg = ba.BAConfig(max_iters=8, point_chunk=64)
+    T_dense = ba.gauss_newton_rays(T_init, Xs, Cs, ii, jj, idx, valid, Q,
+                                   mask, jnp.asarray(n_kf), cfg)
+    m = mesh_mod.make_mesh(2)
+    ii_r, jj_r, idx_r, valid_r, Q_r, mask_r = schur.reorder_edges(
+        order, keep, ii, jj, idx, valid, Q, mask)
+    T_schur = schur.gauss_newton_rays_schur(
+        T_init, Xs, Cs, jnp.asarray(part.owner), jnp.asarray(part.int_slot),
+        jnp.asarray(part.sep_slot), jnp.asarray(ii_r), jnp.asarray(jj_r),
+        jnp.asarray(idx_r), jnp.asarray(valid_r), jnp.asarray(Q_r),
+        jnp.asarray(mask_r), jnp.asarray(n_kf), part.I_cap, part.S_cap,
+        m, cfg)
+    np.testing.assert_allclose(np.asarray(T_schur)[:n_kf],
+                               np.asarray(T_dense)[:n_kf], atol=1e-3)

@@ -172,3 +172,44 @@ def test_run_loop_viewer_hook():
     finally:
         image_mod.resize_img = orig
         viewer.stop()
+
+
+def test_runtime_conf_threshold_ctrl():
+    """/ctrl?conf=<v> must change the served scene WITHOUT a new run-loop
+    update (the reference viewer's C_conf_threshold slider,
+    visualization.py:324-332) — including while paused."""
+    from mast3r_slam_tpu.viz_server import LiveViewer, unpack_scene
+
+    viewer = LiveViewer(port=0, c_conf_threshold=1.0, refresh_s=0.0).start()
+    try:
+        base = f"http://127.0.0.1:{viewer.port}"
+        html = urllib.request.urlopen(f"{base}/", timeout=5).read().decode()
+        assert "confs" in html and "conf=" in html   # slider wired to /ctrl
+
+        system = types.SimpleNamespace(keyframes=_toy_keyframes(),
+                                       factor_graph=None, last_frame_idx=1)
+        viewer.update(system, force=True)
+        full = unpack_scene(
+            urllib.request.urlopen(f"{base}/scene", timeout=5).read())
+        assert len(full["pts"]) == 3 * 8 * 12   # C=5 > 1.0 -> all points
+
+        def ctrl(q):
+            req = urllib.request.Request(
+                f"{base}/ctrl?{q}&t={viewer.token}", method="POST")
+            return urllib.request.urlopen(req, timeout=5)
+
+        ctrl("pause=1")          # slider must work while paused too
+        ctrl("conf=100")
+        assert viewer.c_conf_threshold == 100.0
+        empty = unpack_scene(
+            urllib.request.urlopen(f"{base}/scene", timeout=5).read())
+        assert len(empty["pts"]) == 0   # threshold above all confidences
+
+        ctrl("conf=0.5")
+        back = unpack_scene(
+            urllib.request.urlopen(f"{base}/scene", timeout=5).read())
+        assert len(back["pts"]) == 3 * 8 * 12
+        ctrl("conf=notafloat")   # ignored, not a 500
+        assert viewer.c_conf_threshold == 0.5
+    finally:
+        viewer.stop()
