@@ -133,14 +133,20 @@ def main(argv=None):
     print(f"frame size: {h}x{w}")
 
     rt = cfg.get("runtime", {})
-    model_cfg = MASt3RConfig(
-        img_size=(h, w),
-        dtype=rt.get("model_dtype", "bfloat16"),
-        head_dtype=rt.get("head_dtype", "float32"))
     if args.checkpoint:
+        # derive the architecture from the checkpoint's instantiation
+        # string (the reference's from_pretrained semantics, mast3r/
+        # model.py:21-37); bare state dicts fall back to the ViT-L default
         print(f"loading checkpoint {args.checkpoint}")
-        params = convert.load_checkpoint(args.checkpoint, model_cfg)
+        model_cfg, params = convert.load_released_checkpoint(
+            args.checkpoint, img_size=(h, w),
+            dtype=rt.get("model_dtype", "bfloat16"),
+            head_dtype=rt.get("head_dtype", "float32"))
     else:
+        model_cfg = MASt3RConfig(
+            img_size=(h, w),
+            dtype=rt.get("model_dtype", "bfloat16"),
+            head_dtype=rt.get("head_dtype", "float32"))
         print("WARNING: no checkpoint; random weights (smoke/perf mode)")
         params = init_params(jax.random.PRNGKey(args.seed), model_cfg)
 

@@ -192,6 +192,11 @@ _INT_ARGS = {
     "enc_num_heads": "enc_num_heads", "dec_embed_dim": "dec_embed_dim",
     "dec_depth": "dec_depth", "dec_num_heads": "dec_num_heads",
     "patch_size": "patch_size",
+    # extra architecture kwargs our export writes for non-default-size
+    # models (the reference's AsymmetricMASt3R accepts feature_dim /
+    # last_dim too; they are absent from the released string because the
+    # ViT-L defaults apply)
+    "feature_dim": "feature_dim", "last_dim": "last_dim",
 }
 
 
@@ -216,6 +221,11 @@ def parse_model_args(args_str: str, img_size=None, **overrides) -> MASt3RConfig:
         name, val = m.group(1), int(m.group(2))
         if name in _INT_ARGS:
             kw[_INT_ARGS[name]] = val
+
+    m = re.search(r"layer_dims\s*=\s*\(([\d,\s]+)\)", args_str)
+    if m:
+        kw["layer_dims"] = tuple(
+            int(x) for x in m.group(1).split(",") if x.strip())
 
     m = re.search(r"output_mode\s*=\s*'pts3d\+desc(\d+)'", args_str)
     if m:
@@ -265,3 +275,155 @@ def load_released_checkpoint(path, img_size=None, **overrides):
     sd = {k: v.detach().cpu().numpy() for k, v in sd.items()
           if hasattr(v, "detach")}
     return cfg, convert_state_dict(sd, cfg)
+
+
+# ---------------------------------------------------------------------------
+# released-checkpoint EXPORT (inverse of convert_state_dict)
+# ---------------------------------------------------------------------------
+
+
+def _np(a):
+    return np.ascontiguousarray(np.asarray(a, dtype=np.float32))
+
+
+def _inv_lin(out, name, p):
+    out[f"{name}.weight"] = _np(p["w"]).T
+    if "b" in p:
+        out[f"{name}.bias"] = _np(p["b"])
+
+
+def _inv_conv(out, name, p):
+    out[f"{name}.weight"] = _np(p["w"]).transpose(3, 2, 0, 1)  # HWIO->OIHW
+    if "b" in p:
+        out[f"{name}.bias"] = _np(p["b"])
+
+
+def _inv_deconv(out, name, p):
+    # ours (kh, kw, in, out) -> torch ConvTranspose2d (in, out, kh, kw)
+    out[f"{name}.weight"] = _np(p["w"]).transpose(2, 3, 0, 1)
+    if "b" in p:
+        out[f"{name}.bias"] = _np(p["b"])
+
+
+def _inv_norm(out, name, p):
+    out[f"{name}.weight"] = _np(p["w"])
+    out[f"{name}.bias"] = _np(p["b"])
+
+
+def _inv_enc_block(out, pre, p):
+    _inv_norm(out, f"{pre}.norm1", p["norm1"])
+    _inv_lin(out, f"{pre}.attn.qkv", p["attn"]["qkv"])
+    _inv_lin(out, f"{pre}.attn.proj", p["attn"]["proj"])
+    _inv_norm(out, f"{pre}.norm2", p["norm2"])
+    _inv_lin(out, f"{pre}.mlp.fc1", p["mlp"]["fc1"])
+    _inv_lin(out, f"{pre}.mlp.fc2", p["mlp"]["fc2"])
+
+
+def _inv_dec_block(out, pre, p):
+    _inv_norm(out, f"{pre}.norm1", p["norm1"])
+    _inv_lin(out, f"{pre}.attn.qkv", p["attn"]["qkv"])
+    _inv_lin(out, f"{pre}.attn.proj", p["attn"]["proj"])
+    for nm in ("projq", "projk", "projv", "proj"):
+        _inv_lin(out, f"{pre}.cross_attn.{nm}", p["cross_attn"][nm])
+    _inv_norm(out, f"{pre}.norm2", p["norm2"])
+    _inv_norm(out, f"{pre}.norm3", p["norm3"])
+    _inv_norm(out, f"{pre}.norm_y", p["norm_y"])
+    _inv_lin(out, f"{pre}.mlp.fc1", p["mlp"]["fc1"])
+    _inv_lin(out, f"{pre}.mlp.fc2", p["mlp"]["fc2"])
+
+
+def _inv_head(out, pre, p):
+    dpt = f"{pre}.dpt"
+    ap = p["dpt"]["act_postprocess"]
+    _inv_conv(out, f"{dpt}.act_postprocess.0.0", ap[0]["proj"])
+    _inv_deconv(out, f"{dpt}.act_postprocess.0.1", ap[0]["deconv"])
+    _inv_conv(out, f"{dpt}.act_postprocess.1.0", ap[1]["proj"])
+    _inv_deconv(out, f"{dpt}.act_postprocess.1.1", ap[1]["deconv"])
+    _inv_conv(out, f"{dpt}.act_postprocess.2.0", ap[2]["proj"])
+    _inv_conv(out, f"{dpt}.act_postprocess.3.0", ap[3]["proj"])
+    _inv_conv(out, f"{dpt}.act_postprocess.3.1", ap[3]["conv"])
+    for i in (1, 2, 3, 4):
+        _inv_conv(out, f"{dpt}.scratch.layer{i}_rn", p["dpt"]["layer_rn"][i - 1])
+        rf = p["dpt"][f"refinenet{i}"]
+        for unit in ("resConfUnit1", "resConfUnit2"):
+            _inv_conv(out, f"{dpt}.scratch.refinenet{i}.{unit}.conv1",
+                      rf[unit]["conv1"])
+            _inv_conv(out, f"{dpt}.scratch.refinenet{i}.{unit}.conv2",
+                      rf[unit]["conv2"])
+        _inv_conv(out, f"{dpt}.scratch.refinenet{i}.out_conv", rf["out_conv"])
+    _inv_conv(out, f"{dpt}.head.0", p["dpt"]["head"]["conv1"])
+    _inv_conv(out, f"{dpt}.head.2", p["dpt"]["head"]["conv2"])
+    _inv_conv(out, f"{dpt}.head.4", p["dpt"]["head"]["conv3"])
+    _inv_lin(out, f"{pre}.head_local_features.fc1",
+             p["head_local_features"]["fc1"])
+    _inv_lin(out, f"{pre}.head_local_features.fc2",
+             p["head_local_features"]["fc2"])
+
+
+def export_state_dict(params, cfg: MASt3RConfig):
+    """JAX param pytree -> reference-named torch state dict (numpy values).
+
+    Exact inverse of ``convert_state_dict`` (round-trip tested): lets this
+    framework hand a model back to the reference implementation — or save
+    its own checkpoints in the released format (``save_released_checkpoint``)
+    that both the reference's ``from_pretrained`` (mast3r/model.py:21-37)
+    and our ``load_released_checkpoint`` ingest.
+    """
+    out = {}
+    pe = params["patch_embed"]["proj"]
+    e = pe["w"].shape[1]
+    ph = pw = cfg.patch_size
+    w = _np(pe["w"]).reshape(ph, pw, 3, e).transpose(3, 2, 0, 1)
+    out["patch_embed.proj.weight"] = np.ascontiguousarray(w)
+    out["patch_embed.proj.bias"] = _np(pe["b"])
+    for i, blk in enumerate(params["enc_blocks"]):
+        _inv_enc_block(out, f"enc_blocks.{i}", blk)
+    _inv_norm(out, "enc_norm", params["enc_norm"])
+    _inv_lin(out, "decoder_embed", params["decoder_embed"])
+    for i, blk_s in enumerate(params["dec_blocks_s"]):
+        s0 = jax.tree.map(lambda a: a[0], blk_s)
+        s1 = jax.tree.map(lambda a: a[1], blk_s)
+        _inv_dec_block(out, f"dec_blocks.{i}", s0)
+        _inv_dec_block(out, f"dec_blocks2.{i}", s1)
+    _inv_norm(out, "dec_norm", params["dec_norm"])
+    _inv_head(out, "downstream_head1", params["head1"])
+    _inv_head(out, "downstream_head2", params["head2"])
+    return out
+
+
+def model_args_string(cfg: MASt3RConfig) -> str:
+    """Released-format instantiation string for ``cfg`` (the ``args.model``
+    the reference's load_model evals, mast3r/model.py:21-37). Non-default
+    head sizes ride as extra kwargs that ``parse_model_args`` reads back."""
+    extra = ""
+    default = MASt3RConfig()
+    if (cfg.feature_dim, cfg.last_dim, cfg.layer_dims) != (
+            default.feature_dim, default.last_dim, default.layer_dims):
+        extra = (f", feature_dim={cfg.feature_dim}, last_dim={cfg.last_dim}"
+                 f", layer_dims={tuple(cfg.layer_dims)}")
+    return (
+        f"AsymmetricMASt3R(pos_embed='RoPE{cfg.rope_base:g}', "
+        "patch_embed_cls='ManyAR_PatchEmbed', img_size=(512, 512), "
+        f"head_type='catmlp+dpt', output_mode='pts3d+desc{cfg.desc_dim}', "
+        "depth_mode=('exp', -inf, inf), conf_mode=('exp', 1, inf), "
+        f"enc_embed_dim={cfg.enc_embed_dim}, enc_depth={cfg.enc_depth}, "
+        f"enc_num_heads={cfg.enc_num_heads}, "
+        f"dec_embed_dim={cfg.dec_embed_dim}, dec_depth={cfg.dec_depth}, "
+        f"dec_num_heads={cfg.dec_num_heads}, two_confs=True, "
+        f"desc_conf_mode=('exp', 0, inf), patch_size={cfg.patch_size}"
+        f"{extra})")
+
+
+def save_released_checkpoint(params, cfg: MASt3RConfig, path):
+    """Save ``params`` as a released-format .pth
+    ({'args': Namespace(model=...), 'model': state_dict})."""
+    import argparse as _argparse
+
+    import torch
+
+    sd = {k: torch.from_numpy(v) for k, v in
+          export_state_dict(params, cfg).items()}
+    ckpt = {"args": _argparse.Namespace(model=model_args_string(cfg)),
+            "model": sd}
+    torch.save(ckpt, path)
+    return path

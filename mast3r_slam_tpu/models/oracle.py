@@ -131,6 +131,33 @@ def _descriptors(params, Xw):
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def render_rgb(params, frame_id, cfg: MASt3RConfig):
+    """View-consistent textured rendering of the oracle scene: (h, w, 3)
+    float32 in [0, 1].
+
+    The color of a pixel is a multi-frequency function of the WORLD point
+    it sees, so the same surface point looks the same from every view —
+    what a real camera provides. Used by the real-geometry rehearsal
+    (scripts/distill_oracle.py): a REAL MASt3R architecture trained on
+    these images learns actual two-view geometry, which the full SLAM
+    pipeline then consumes through the released-checkpoint path."""
+    h, w = cfg.img_size
+    T = params["traj"][jnp.asarray(frame_id, jnp.int32)]
+    Xw = _raycast_world(params, T, cfg)
+    key = jax.random.PRNGKey(42)
+    p1 = jax.random.normal(jax.random.fold_in(key, 1), (3, 3)) * 3.0
+    p2 = jax.random.normal(jax.random.fold_in(key, 2), (3, 3)) * 11.0
+    p3 = jax.random.normal(jax.random.fold_in(key, 3), (3, 3)) * 29.0
+    c = (0.5 + 0.25 * jnp.sin(Xw @ p1) + 0.15 * jnp.sin(Xw @ p2)
+         + 0.10 * jnp.sin(Xw @ p3))
+    # mild depth shading so surfaces are distinguishable even where the
+    # texture phases align
+    z = jnp.linalg.norm(Xw - sim3.parts(T)[0][None], axis=-1, keepdims=True)
+    c = c * (1.15 - 0.05 * z)
+    return jnp.clip(c, 0.0, 1.0).reshape(h, w, 3)
+
+
 def _frame_pose(params, feat):
     fid = feat[:, 0, -1].astype(jnp.int32)                # (b,)
     return params["traj"][fid]                            # (b, 8)

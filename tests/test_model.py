@@ -90,3 +90,40 @@ def test_encode_uint8_matches_host_normalized():
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
     np.testing.assert_allclose(np.asarray(fa, np.float32),
                                np.asarray(fb, np.float32), atol=1e-4)
+
+
+def test_export_released_checkpoint_roundtrip(tmp_path):
+    """export_state_dict must be the exact inverse of convert_state_dict,
+    and save/load_released_checkpoint must round-trip a NON-default
+    architecture (the args string carries the extra head sizes)."""
+    import numpy as np
+
+    from mast3r_slam_tpu.models import TINY, convert, init_params
+
+    params = init_params(jax.random.PRNGKey(3), TINY)
+    sd = convert.export_state_dict(params, TINY)
+    assert all(isinstance(v, np.ndarray) for v in sd.values())
+    back = convert.convert_state_dict(sd, TINY)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_a) == len(flat_b)
+    for k, va in flat_a:
+        np.testing.assert_array_equal(np.asarray(va),
+                                      np.asarray(flat_b[jax.tree_util.keystr(k)]),
+                                      err_msg=jax.tree_util.keystr(k))
+
+    path = tmp_path / "tiny_released.pth"
+    convert.save_released_checkpoint(params, TINY, path)
+    cfg2, params2 = convert.load_released_checkpoint(path,
+                                                     img_size=TINY.img_size,
+                                                     dtype="float32")
+    for f in ("enc_depth", "enc_embed_dim", "enc_num_heads", "dec_depth",
+              "dec_embed_dim", "dec_num_heads", "desc_dim", "patch_size",
+              "feature_dim", "last_dim", "layer_dims"):
+        assert getattr(cfg2, f) == getattr(TINY, f), f
+    for (k, va), vb in zip(jax.tree_util.tree_leaves_with_path(params),
+                           jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=jax.tree_util.keystr(k))
