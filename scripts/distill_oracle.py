@@ -172,7 +172,10 @@ def write_dataset(args, cfg, traj, oparams, out: pathlib.Path):
         for i in range(args.frames):
             T = np.asarray(sim3.to_se3(traj[i]))
             t, q = T[:3], T[3:7]
-            f.write(f"{float(i):.1f} {t[0]} {t[1]} {t[2]} "
+            # timestamp convention: the RGBFiles adapter stamps frame i at
+            # i/30 s (io/datasets.py:196) and ate_rmse associates by
+            # nearest timestamp
+            f.write(f"{i / 30.0} {t[0]} {t[1]} {t[2]} "
                     f"{q[0]} {q[1]} {q[2]} {q[3]}\n")
     return rgb
 
