@@ -162,9 +162,11 @@ def bench_e2e(net_params, rparams, model_cfg, h, w, W, kf_every, n_frames,
         oparams = oracle.make_params(traj, desc_dim=model_cfg.desc_dim,
                                      desc_freq=desc_freq)
         params = oracle_timing.make_params(net_params, oparams)
+        kf_cap = max(32, (nf // max(kf_every, 1)) + 8 if kf_every
+                     else nf + 8)
         system = SLAMSystem(params, model_cfg, cfg, (h, w),
                             retrieval_params=rparams,
-                            keyframe_capacity=32, edge_capacity=256,
+                            keyframe_capacity=kf_cap, edge_capacity=256,
                             model_module=oracle_timing)
         rng = np.random.default_rng(seed)
         frames = [oracle_timing.make_frame_image(i, h, w, rng)

@@ -134,10 +134,12 @@ def pick_backend_device(spec):
     second local device when one exists, else None. An integer -> that
     device index (must differ from 0 and exist).
     """
-    if spec in (None, "none", "None", 0, False, ""):
+    if spec is None or spec is False or spec in ("none", "None", "") \
+            or (spec == 0 and not isinstance(spec, bool)):
         return None
     devs = jax.local_devices()
-    if spec in ("auto", True):
+    # `is True` (not ==): the integer index 1 must NOT match the bool
+    if spec == "auto" or spec is True:
         return devs[1] if len(devs) > 1 else None
     i = int(spec)
     if i <= 0 or i >= len(devs):

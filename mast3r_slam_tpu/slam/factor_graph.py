@@ -237,8 +237,11 @@ def _add_tracked_edge_body(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
     inv_safe = jnp.where(valid_inv, inv, 0)
     Q_inv = jnp.where(valid_inv, jnp.take(Q_i, inv_safe), 0.0)
 
-    rows = jnp.stack([e0, e0 + 1])
-    rows = jnp.where(rows < E_cap, rows, E_cap)      # OOB rows dropped
+    # the PAIR is atomic: if both rows don't fit, neither is written and
+    # the count stays put (mirrors the host gate's drop-both arithmetic —
+    # a half-written pair at odd capacity would desync host/device counts)
+    fits = (e0 + 2) <= E_cap
+    rows = jnp.where(fits, jnp.stack([e0, e0 + 1]), E_cap)  # OOB -> drop
     return (ii_buf.at[rows].set(jnp.stack([j, i]), mode="drop"),
             jj_buf.at[rows].set(jnp.stack([i, j]), mode="drop"),
             idx_buf.at[rows].set(jnp.stack([idx_j_per_i, inv_safe]),
@@ -246,7 +249,7 @@ def _add_tracked_edge_body(ii_buf, jj_buf, idx_buf, vm_buf, Q_buf,
             vm_buf.at[rows].set(jnp.stack([valid_i, valid_inv]),
                                 mode="drop"),
             Q_buf.at[rows].set(jnp.stack([Q_i, Q_inv]), mode="drop"),
-            jnp.minimum(e0 + 2, E_cap))
+            jnp.where(fits, e0 + 2, e0))
 
 
 _add_tracked_edge_fused = jax.jit(

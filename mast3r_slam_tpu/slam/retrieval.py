@@ -321,7 +321,14 @@ class RetrievalDatabase:
 
     def state_dict(self):
         """Checkpointable IVF state (flat arrays; VERDICT r4 weak #9 — the
-        alternative is an O(n_keyframes) device-dispatch replay on resume)."""
+        alternative is an O(n_keyframes) device-dispatch replay on resume).
+
+        A stale libasmk_native.so without the export symbols yields
+        kind="unavailable": the checkpoint still saves, and load falls back
+        to the feature-replay path."""
+        if self.native and not hasattr(self.native.load(),
+                                       "asmk_ivf_n_entries"):
+            return {"kind": "unavailable", "kf_counter": self.kf_counter}
         st = self.ivf.flat_state()
         st["kf_counter"] = self.kf_counter
         return st
@@ -334,9 +341,10 @@ class RetrievalDatabase:
         if kind == "native":
             from .. import native as native_mod
 
-            if not (self.native and native_mod.load()):
-                return False
-            if not hasattr(native_mod.NativeIVF, "from_flat"):
+            lib = native_mod.load() if self.native else None
+            # the serialization entry points only exist in a freshly-built
+            # .so (native/__init__.py binds them best-effort)
+            if lib is None or not hasattr(lib, "asmk_ivf_import"):
                 return False
             self.ivf = native_mod.NativeIVF.from_flat(state)
         elif kind == "numpy":

@@ -247,7 +247,7 @@ def _track_window_body(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
                        kX, kC, kN, kNU, kscore, kT, kfeat, kpos, kdix,
                        ds: int, fuse_mode: str, score_fn: str,
                        use_calib: bool, img_size, window: int,
-                       model_mod=mast3r):
+                       model_mod=mast3r, capture_matches: bool = True):
     """Micro-batched streaming frontend: ``window`` frames in ONE dispatch.
 
     TPU-native beyond the reference (which steps frame-by-frame on the
@@ -363,9 +363,10 @@ def _track_window_body(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
         o_T.append(T_WCf)
         o_Xff.append(Xff)
         o_Cff.append(Cff)
-        o_idx.append(idx_f2k)
-        o_valid.append(vmk)
-        o_Qk.append(Qk)
+        if capture_matches:   # consumed by the consecutive-edge reuse
+            o_idx.append(idx_f2k)   # path only; dead outputs otherwise
+            o_valid.append(vmk)
+            o_Qk.append(Qk)
 
     # final flush of the current keyframe's carried state
     kX = kX.at[cur].set(kf_X)
@@ -378,8 +379,12 @@ def _track_window_body(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
         hoststats=jnp.stack(o_stats), T_WCf=jnp.stack(o_T),
         feats=feats_all, poss=poss_all, Xff=jnp.stack(o_Xff),
         Cff=jnp.stack(o_Cff), idx_last=idx,
-        idxs=jnp.stack(o_idx), valids=jnp.stack(o_valid),
-        Qks=jnp.stack(o_Qk), prev_T_WC=prev_T_WC,
+        idxs=(jnp.stack(o_idx) if capture_matches
+              else jnp.zeros((0,), jnp.int32)),
+        valids=(jnp.stack(o_valid) if capture_matches
+                else jnp.zeros((0,), bool)),
+        Qks=(jnp.stack(o_Qk) if capture_matches
+             else jnp.zeros((0,), jnp.float32)), prev_T_WC=prev_T_WC,
         feat_last=feat_last, pos_last=pos_last,
         kX=kX, kC=kC, kN=kN, kNU=kNU, kscore=kscore, kT=kT, kfeat=kfeat,
         kpos=kpos, kdix=kdix)
@@ -388,7 +393,8 @@ def _track_window_body(params, cfg, mcfg, tcfg, imgs, frame_ids, idx_init,
 _track_window_fused = partial(
     jax.jit,
     static_argnames=("cfg", "mcfg", "tcfg", "ds", "fuse_mode", "score_fn",
-                     "use_calib", "img_size", "window", "model_mod"),
+                     "use_calib", "img_size", "window", "model_mod",
+                     "capture_matches"),
     donate_argnums=frame_mod.donate_argnums(
         10, 11, 12, 13, 14, 15, 16, 17, 18))(_track_window_body)
 
@@ -843,7 +849,8 @@ class SLAMSystem:
             kfs.X, kfs.C, kfs.N, kfs.N_updates, kfs.score, kfs.T_WC,
             kfs.feat, kfs.pos, kfs.dataset_idx,
             self.downsample, tr.filtering_mode, tr.filtering_score,
-            self.use_calib, (kfs.h, kfs.w), W, self.model_mod)
+            self.use_calib, (kfs.h, kfs.w), W, self.model_mod,
+            capture_matches=self._reuse_consec)
 
         # adopt the donated store buffers (device-side; no sync). Later
         # dispatches referencing them queue behind this window via XLA
@@ -1000,7 +1007,10 @@ class SLAMSystem:
         # transfer, not a stall) so stats/metrics stay near-exact
         if flush_deferred:
             self.factor_graph.flush()
-        if self._backend_mirror is not None:
+        if (self._backend_mirror is not None
+                and (self.reloc_pending or self.backend_queue)):
+            # only when there is backend work (3 of 4 per-frame calls are
+            # no-ops at kf_every=4 — don't pay cross-device row copies)
             self._backend_mirror.sync()
         if self.reloc_pending:
             self.reloc_pending = False

@@ -209,6 +209,9 @@ class LiveViewer:
         else:
             kfs, fg = system.keyframes, system.factor_graph
         self._last_snap = (kfs, fg)
+        self._render(kfs, fg)
+
+    def _render(self, kfs, fg):
         scene = viz.build_scene(kfs, self.c_conf_threshold,
                                 self.max_points, fg)
         blob = pack_scene(scene, n_kf=len(kfs), frame=self._frame,
@@ -219,20 +222,24 @@ class LiveViewer:
     def set_conf_threshold(self, value: float):
         """Change the point-cloud confidence threshold at runtime and
         re-render the served scene from the latest snapshot (so the slider
-        works while the run is paused too). The next run-loop ``update``
-        also picks the new threshold up immediately."""
+        works while the run is paused too — in single_thread mode nothing
+        can invalidate the snapshot while the loop is blocked on
+        ``wait_if_paused``). The next run-loop ``update`` also picks the
+        new threshold up immediately."""
         self.c_conf_threshold = float(value)
         self._last_update = 0.0
         snap = self._last_snap
         if snap is None:
             return
-        kfs, fg = snap
-        scene = viz.build_scene(kfs, self.c_conf_threshold,
-                                self.max_points, fg)
-        blob = pack_scene(scene, n_kf=len(kfs), frame=self._frame,
-                          paused=self.paused)
-        with self._blob_lock:
-            self._blob = blob
+        try:
+            self._render(*snap)
+        except RuntimeError:
+            # single_thread runs DONATE store/edge buffers in place, so a
+            # mid-run snapshot's arrays may be deleted by the time the
+            # slider fires; the next update() (at most one frame away when
+            # running — and while paused the snapshot is always live)
+            # re-renders with the new threshold
+            pass
 
     def wait_if_paused(self):
         """Block while paused; a queued step request releases ONE frame

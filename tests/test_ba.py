@@ -572,3 +572,31 @@ def test_add_tracked_edge_inversion_and_counts():
     fg.add_tracked_edge(1, 2, idx, valid, Q)
     assert fg.n_edges == 4 and int(fg.n_edges_dev) == 4
     assert np.asarray(fg.ii[2:4]).tolist() == [2, 1]
+
+
+def test_add_tracked_edge_atomic_pair_at_odd_capacity():
+    """With one slot left (odd capacity), the device must drop the WHOLE
+    pair — not half-write one row — so host and device counts agree."""
+    from mast3r_slam_tpu.slam.factor_graph import (FactorGraph,
+                                                   FactorGraphConfig,
+                                                   MatchingConfig)
+    from mast3r_slam_tpu.slam.frame import KeyframeStore
+
+    P = 8
+    kfs = KeyframeStore(8, P, 4, 8, (2, 4), donate=False)
+    kfs.n_size = 5
+    fg = FactorGraph(None, None, kfs,
+                     FactorGraphConfig(edge_capacity=7, max_edge_capacity=7),
+                     ba.BAConfig(max_iters=1, point_chunk=P),
+                     MatchingConfig())
+    idx = jnp.arange(P, dtype=jnp.int32)
+    valid = jnp.ones((P,), bool)
+    Q = jnp.full((P,), 2.0)
+    for k in range(3):
+        fg.add_tracked_edge(k, k + 1, idx, valid, Q)
+    assert fg.n_edges == 6 and int(fg.n_edges_dev) == 6
+    fg.add_tracked_edge(3, 4, idx, valid, Q)   # only 1 slot left
+    assert fg.n_edges == 6 and int(fg.n_edges_dev) == 6
+    assert fg.edges_dropped == 2
+    # the leftover slot was never half-written
+    assert int(fg.ii[6]) == 0 and not bool(fg.valid_match[6].any())

@@ -111,3 +111,33 @@ def test_oracle_timing_outputs_match_oracle_exactly():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(D), np.asarray(Do),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_health_gate_natural_cadence_bounds():
+    """kf_every=0 (natural keyframing): the gate must reject both the
+    keyframe-every-frame storm (the degenerate regime DEVELOPMENT.md
+    documents) and a dead cadence, and accept a live middle."""
+    import bench
+    from mast3r_slam_tpu.slam.frame import Mode
+
+    class _FG:
+        n_edges = 10
+
+    def sys_with(kf, n_frames):
+        s = type("S", (), {})()
+        s.stats = {"skipped": 0, "keyframes": kf, "loop_closures": 2,
+                   "relocs": 0, "reloc_failed": 0, "reinits": 0,
+                   "frames_tracking": n_frames - 1, "frames_reloc": 0,
+                   "frames_init": 1}
+        s.mode = Mode.TERMINATED
+        s.factor_graph = _FG()
+        return s
+
+    bench._assert_healthy(sys_with(10, 65), 65, kf_every=0)   # live
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="degenerate natural cadence"):
+        bench._assert_healthy(sys_with(64, 65), 65, kf_every=0)  # storm
+    with pytest.raises(RuntimeError, match="degenerate natural cadence"):
+        bench._assert_healthy(sys_with(1, 65), 65, kf_every=0)   # dead
