@@ -98,3 +98,22 @@ def test_backend_device_with_consec_reuse():
     pairs = set(zip(ii.tolist(), jj.tolist()))
     for k in range(1, n_kf):
         assert (k, k - 1) in pairs and (k - 1, k) in pairs
+
+
+def test_pick_backend_device_spec_semantics():
+    """Config-value parsing: off-values, auto, and EXPLICIT indices (the
+    integer 1 must not be swallowed by the bool-auto check: 1 == True)."""
+    import pytest
+
+    from mast3r_slam_tpu.parallel.backend_device import pick_backend_device
+
+    for off in (None, "none", "None", "", 0, False):
+        assert pick_backend_device(off) is None
+    assert pick_backend_device("auto") == jax.devices()[1]
+    assert pick_backend_device(True) == jax.devices()[1]
+    assert pick_backend_device(1) == jax.devices()[1]
+    assert pick_backend_device(2) == jax.devices()[2]
+    with pytest.raises(ValueError):
+        pick_backend_device(len(jax.local_devices()))
+    with pytest.raises(ValueError):
+        pick_backend_device(-3)
