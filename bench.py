@@ -240,8 +240,8 @@ def bench_tracking(params, model_cfg, h, w, W):
 
     n = h * w
     cfg = model_cfg
-    mcfg = MatchingConfig(dilation_max=1, max_iter=0, radius=2,
-                          coarse_iter=4)
+    mcfg = MatchingConfig(dilation_max=1, max_iter=0, radius=1,
+                          coarse_iter=3)   # = tpu_fast matcher settings
     tcfg = tracker_mod.TrackerConfig()
 
     key = jax.random.PRNGKey(0)
